@@ -1,0 +1,20 @@
+"""Model zoo: localizer backbones, assessor, SSD baseline."""
+
+from loans_tpu.models.assessor import ResnetAssessor
+from loans_tpu.models.localizer import IMAGENET_MEAN_RGB, Localizer
+from loans_tpu.models.resnet import (
+    BLOCK_CONFIGS,
+    BasicStage,
+    BottleNeckStage,
+    ResNet,
+)
+
+__all__ = [
+    "ResnetAssessor",
+    "IMAGENET_MEAN_RGB",
+    "Localizer",
+    "BLOCK_CONFIGS",
+    "BasicStage",
+    "BottleNeckStage",
+    "ResNet",
+]
