@@ -1,0 +1,137 @@
+"""The alternating localizer/assessor update as one jitted step.
+
+Re-design of ``sheep/sheep_updater.py`` (``SheepAssessor.update_core``).
+The reference's GAN-style dance — ``disable_update`` on the assessor,
+backward the localizer loss *through* the assessor, ``unchain_backward``
+the crops, then backward the assessor loss (``sheep_updater.py:48-66``) —
+becomes two ``jax.value_and_grad`` calls over disjoint parameter pytrees:
+
+  * localizer step: grads of MSE(assessor(crops), target) + regularizers
+    w.r.t. *localizer params only* (the assessor's params are closed over
+    as constants, so gradients flow through it but never update it);
+  * assessor step: grads of MSE(assessor(real), iou_labels) w.r.t.
+    assessor params. The reference evaluates this forward with pre-update
+    assessor params (:35) — identical here since the localizer step never
+    touches them. Skipped (but still reported) when the assessor is
+    frozen (``--rd`` resume, ``sheep_updater.py:16,62-66``).
+
+Everything fuses into a single XLA program: 2 assessor forwards, 1
+localizer forward, 2 backwards, 2 optimizer updates per iteration, with
+the batch sharded over the ``data`` mesh axis (gradient all-reduce is
+inserted by the SPMD partitioner).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from loans_tpu.ops.geometry import Size, theta_corners
+from loans_tpu.ops.losses import direction_loss, out_of_image_loss
+from loans_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class AlternatingConfig:
+    """Static configuration of the alternating update."""
+
+    localizer_target: float = 1.0  # sheep_updater.py:17
+    freeze_assessor: bool = False  # "freeze_discriminator", :16
+    image_size: Size = Size(224, 224)
+
+
+def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(pred - target))
+
+
+def make_train_step(localizer, assessor, config: AlternatingConfig):
+    """Build the jitted alternating train step.
+
+    Returns a function
+      ``(loc_state, ass_state, batch, rng) -> (loc_state, ass_state, metrics)``
+    where ``batch = {'real': (N,h,w,c), 'labels': (N,1), 'unlabeled':
+    (N,H,W,3)}``. Donates both states.
+    """
+
+    def train_step(
+        loc_state: TrainState,
+        ass_state: TrainState,
+        batch: dict[str, Any],
+        rng: jax.Array,
+    ):
+        real_images = batch["real"]
+        labels = batch["labels"]
+        unlabeled = batch["unlabeled"]
+
+        def loc_loss_fn(loc_params):
+            rngs = {"rotation_dropout": rng}
+            (rois, theta), updates = localizer.apply(
+                {
+                    "params": loc_params,
+                    "batch_stats": loc_state.batch_stats,
+                },
+                unlabeled,
+                train=True,
+                mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            y_fake = assessor.apply({"params": ass_state.params}, rois)
+            target = jnp.full_like(y_fake, config.localizer_target)
+            loss = mse(y_fake, target)
+            corners = theta_corners(theta)
+            loss = loss + direction_loss(corners, config.image_size)
+            loss = loss + out_of_image_loss(corners)
+            return loss, (updates["batch_stats"], y_fake, theta)
+
+        (loss_localizer, (new_bn, y_fake, theta)), loc_grads = (
+            jax.value_and_grad(loc_loss_fn, has_aux=True)(loc_state.params)
+        )
+        loc_state = loc_state.apply_gradients(
+            loc_grads, new_batch_stats=new_bn
+        )
+
+        def ass_loss_fn(ass_params):
+            y_real = assessor.apply({"params": ass_params}, real_images)
+            return mse(y_real, labels), y_real
+
+        (loss_dis, y_real), ass_grads = jax.value_and_grad(
+            ass_loss_fn, has_aux=True
+        )(ass_state.params)
+        if not config.freeze_assessor:
+            ass_state = ass_state.apply_gradients(ass_grads)
+
+        metrics = {
+            "loss_localizer": loss_localizer,
+            "loss_dis": loss_dis,
+            "y_fake_mean": jnp.mean(y_fake),
+            "y_real_mean": jnp.mean(y_real),
+        }
+        return loc_state, ass_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(localizer, image_size: Size):
+    """Eval-mode forward: images -> (theta, corners, boxes).
+
+    The metric computation itself (IoU, VOC mAP) lives in
+    ``loans_tpu/eval``; this step returns device arrays only.
+    """
+
+    @partial(jax.jit)
+    def eval_step(loc_state: TrainState, images):
+        _, theta = localizer.apply(
+            {
+                "params": loc_state.params,
+                "batch_stats": loc_state.batch_stats,
+            },
+            images,
+            train=False,
+        )
+        return theta
+
+    return eval_step
