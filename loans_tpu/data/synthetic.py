@@ -1,0 +1,345 @@
+"""Synthetic assessor/localizer data: the paste-and-crop compositor.
+
+Re-design of ``datasets/sheep/paste_and_crop_sheep.py``: paste an RGBA
+"stamp" onto a background at a random size/position, then cut a crop whose
+IoU with the pasted box is known — that (crop, IoU) pair supervises the
+assessor. The IoU-stratified "zoom mode" cycles desired IoU through
+{0.20, 0.25, ..., 1.0} (``paste_and_crop_sheep.py:13-14,47-48``) and
+rejection-samples a matching crop; 30% of samples use a naive random zoom
+(:141-144).
+
+Additions over the reference:
+  * an *in-memory* generator (no disk round trip) usable directly as a
+    dataset — feeds the input pipeline at TPU speed;
+  * procedural stamps/backgrounds (random blobs/gradients) so the full
+    train/eval/bench path runs with zero external downloads — this powers
+    the MNIST-style smoke mode (``train_sheep_localizer.py:94-96``) and
+    the benchmark harness;
+  * a localization dataset with ground-truth boxes (full scene + gt
+    aabb) for IoU/mAP evaluation.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+IOU_RANGE = [v / 100 for v in range(20, 105, 5)]  # paste_and_crop_sheep.py:13
+
+
+def _bbox_iou_xyxy(a, b) -> float:
+    x1 = max(a[0], b[0])
+    y1 = max(a[1], b[1])
+    x2 = min(a[2], b[2])
+    y2 = min(a[3], b[3])
+    inter = max(0, x2 - x1) * max(0, y2 - y1)
+    area_a = max(0, a[2] - a[0]) * max(0, a[3] - a[1])
+    area_b = max(0, b[2] - b[0]) * max(0, b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def make_procedural_stamp(
+    rng: random.Random, size: int = 64
+) -> Image.Image:
+    """Random colored blob with alpha — a stand-in 'sheep stamp'."""
+    img = Image.new("RGBA", (size, size), (0, 0, 0, 0))
+    arr = np.zeros((size, size, 4), dtype=np.uint8)
+    color = [rng.randint(60, 255) for _ in range(3)]
+    n_blobs = rng.randint(2, 4)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = np.zeros((size, size), dtype=bool)
+    for _ in range(n_blobs):
+        cy, cx = rng.randint(size // 4, 3 * size // 4), rng.randint(
+            size // 4, 3 * size // 4
+        )
+        ry, rx = rng.randint(size // 6, size // 3), rng.randint(
+            size // 6, size // 3
+        )
+        mask |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    for c in range(3):
+        arr[..., c] = color[c]
+    arr[..., 3] = mask.astype(np.uint8) * 255
+    img = Image.fromarray(arr, "RGBA")
+    return img
+
+
+def make_procedural_background(
+    rng: random.Random, size: tuple[int, int] = (256, 256)
+) -> Image.Image:
+    """Low-frequency noise background (no object-like structure)."""
+    w, h = size
+    small = np.stack(
+        [
+            np.asarray(
+                [[rng.randint(0, 255) for _ in range(8)] for _ in range(8)],
+                dtype=np.uint8,
+            )
+            for _ in range(3)
+        ],
+        axis=-1,
+    )
+    img = Image.fromarray(small, "RGB").resize((w, h), Image.BILINEAR)
+    return img.convert("RGBA")
+
+
+def iou_crop_box(
+    rng: random.Random,
+    image_size: tuple[int, int],
+    bbox: np.ndarray,
+    crop_width: int,
+    crop_height: int,
+    desired_iou: float,
+) -> np.ndarray:
+    """Sample a crop box near the paste bbox (``paste_and_crop_sheep.py:17-42``)."""
+    width, height = image_size
+    if desired_iou < 0.0:
+        crop_x = rng.randint(0, max(0, width - crop_width))
+        crop_y = rng.randint(0, max(0, height - crop_height))
+    else:
+        dev_w = int(crop_width // 2 * (1.0 - desired_iou))
+        dev_h = int(crop_height // 2 * (1.0 - desired_iou))
+        lo_x = max(int(bbox[0]) - dev_w, 0)
+        hi_x = min(int(bbox[0]) + dev_w, width - crop_width)
+        lo_y = max(int(bbox[1]) - dev_h, 0)
+        hi_y = min(int(bbox[1]) + dev_h, height - crop_height)
+        crop_x = rng.randint(lo_x, max(lo_x, hi_x))
+        crop_y = rng.randint(lo_y, max(lo_y, hi_y))
+    return np.array(
+        [
+            crop_x,
+            crop_y,
+            min(crop_x + crop_width, width),
+            min(crop_y + crop_height, height),
+        ]
+    )
+
+
+@dataclass
+class PasteResult:
+    image: Image.Image  # composited RGBA scene
+    paste_bbox: np.ndarray  # (x1, y1, x2, y2) of the stamp
+
+
+class PasteAndCropGenerator:
+    """IoU-labeled crop sampler (assessor supervision).
+
+    Each ``sample()`` composites a stamp on a background, then returns
+    (crop_rgb_float01_HWC, iou_label). Stratified over ``IOU_RANGE`` in
+    zoom mode, with a 30% naive-zoom mixture, like the reference tool.
+    """
+
+    def __init__(
+        self,
+        stamps: list[Image.Image] | None = None,
+        backgrounds: list[Image.Image] | None = None,
+        image_size: tuple[int, int] = (224, 224),
+        output_size: tuple[int, int] = (75, 75),
+        seed: int = 0,
+        n_procedural: int = 16,
+    ):
+        self.rng = random.Random(seed)
+        self.stamps = stamps or [
+            make_procedural_stamp(self.rng) for _ in range(n_procedural)
+        ]
+        self.backgrounds = backgrounds or [
+            make_procedural_background(self.rng) for _ in range(n_procedural)
+        ]
+        self.image_size = image_size
+        self.output_size = output_size
+        self._iou_index = -1
+
+    # -- compositing ------------------------------------------------------
+    def paste(self) -> PasteResult:
+        rng = self.rng
+        image = rng.choice(self.backgrounds)
+        stamp = rng.choice(self.stamps)
+        if rng.random() >= 0.5:
+            stamp = stamp.transpose(Image.FLIP_LEFT_RIGHT)
+        image = image.resize(self.image_size, Image.LANCZOS)
+        w, h = self.image_size
+        stamp = stamp.resize(
+            (rng.randint(w // 15, w // 2), rng.randint(h // 15, h // 2)),
+            Image.LANCZOS,
+        )
+        paste_x = rng.randint(0, w - stamp.width)
+        paste_y = rng.randint(0, h - stamp.height)
+        layer = Image.new("RGBA", image.size)
+        layer.paste(stamp, (paste_x, paste_y))
+        out = Image.alpha_composite(image, layer)
+        bbox = np.array(
+            [paste_x, paste_y, paste_x + stamp.width, paste_y + stamp.height]
+        )
+        return PasteResult(out, bbox)
+
+    # -- crops ------------------------------------------------------------
+    def _next_desired_iou(self) -> float:
+        self._iou_index = (self._iou_index + 1) % len(IOU_RANGE)
+        return min(IOU_RANGE[self._iou_index], 1.0)
+
+    def iou_crop(self, scene: PasteResult):
+        """Rejection-sample a crop matching the next stratified IoU
+        (``paste_and_crop_sheep.py:45-81``)."""
+        rng = self.rng
+        desired = self._next_desired_iou()
+        bbox = scene.paste_bbox
+        bw, bh = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        sw, sh = scene.image.size
+        max_dev = 1.0 - desired
+        for _ in range(400):
+            if desired < 0.3:
+                cw = int(min(bw + (1 - desired) * 10 * bw, sw))
+                ch = int(min(bh + (1 - desired) * 10 * bh, sh))
+            else:
+                cw = rng.randint(
+                    max(int(bw - bw * max_dev), 1), int(bw + bw * max_dev)
+                )
+                ch = rng.randint(
+                    max(int(bh - bh * max_dev), 1), int(bh + bh * max_dev)
+                )
+            cw, ch = min(cw, sw), min(ch, sh)
+            crop = iou_crop_box(rng, (sw, sh), bbox, cw, ch, desired)
+            iou = _bbox_iou_xyxy(crop, bbox)
+            if desired - 0.05 < iou <= desired:
+                return scene.image.crop(tuple(crop)), iou
+        # Fall back to whatever the last attempt produced.
+        return scene.image.crop(tuple(crop)), iou
+
+    def naive_zoom(self, scene: PasteResult):
+        """Random zoom containing the stamp (``paste_and_crop_sheep.py:84-106``)."""
+        rng = self.rng
+        bbox = scene.paste_bbox
+        bw, bh = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        sw, sh = scene.image.size
+        zoom = rng.random() * 10 + 0.3
+        cw = min(bw + zoom * bw, sw)
+        ch = min(bh + zoom * bh, sh)
+        ins_max = [min(bbox[0], sw - cw), min(bbox[1], sh - ch)]
+        ins_min = [max(bbox[2] - cw, 0), max(bbox[3] - ch, 0)]
+        for i in range(2):
+            if ins_max[i] < ins_min[i]:
+                ins_max[i] = ins_min[i]
+        point = [
+            int(mi + rng.random() * (ma - mi))
+            for mi, ma in zip(ins_min, ins_max)
+        ]
+        crop = [point[0], point[1], point[0] + cw, point[1] + ch]
+        iou = _bbox_iou_xyxy(crop, bbox)
+        return scene.image.crop(tuple(int(v) for v in crop)), iou
+
+    def sample(self) -> tuple[np.ndarray, float]:
+        scene = self.paste()
+        if self.rng.random() >= 0.3:
+            crop, iou = self.iou_crop(scene)
+        else:
+            crop, iou = self.naive_zoom(scene)
+        crop = crop.convert("RGB").resize(self.output_size, Image.BILINEAR)
+        arr = np.asarray(crop, dtype=np.float32) / 255.0
+        return arr, float(iou)
+
+    def scene_with_bbox(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full composited scene + gt box (y1, x1, y2, x2) — for
+        localizer training images and IoU/mAP eval."""
+        scene = self.paste()
+        arr = (
+            np.asarray(scene.image.convert("RGB"), dtype=np.float32) / 255.0
+        )
+        x1, y1, x2, y2 = scene.paste_bbox
+        return arr, np.array([y1, x1, y2, x2], dtype=np.float32)
+
+
+class SyntheticAssessorDataset:
+    """Fixed-size dataset of pre-generated (crop, iou) pairs."""
+
+    def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0):
+        gen = PasteAndCropGenerator(
+            image_size=image_size,
+            output_size=(output_size[1], output_size[0]),
+            seed=seed,
+        )
+        self.items = [gen.sample() for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_example(self, i):
+        img, iou = self.items[i]
+        return img, np.asarray([iou], dtype=np.float32)
+
+    def __getitem__(self, i):
+        return self.get_example(i)
+
+
+class SyntheticLocalizerDataset:
+    """Fixed-size dataset of full scenes (+ gt boxes when labeled)."""
+
+    def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False):
+        gen = PasteAndCropGenerator(image_size=image_size, seed=seed)
+        self.labeled = labeled
+        self.items = [gen.scene_with_bbox() for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_example(self, i):
+        img, bbox = self.items[i]
+        if self.labeled:
+            return img, bbox[None, :], np.zeros((1,), dtype=np.float32)
+        return img
+
+    def __getitem__(self, i):
+        return self.get_example(i)
+
+
+def generate_dataset(
+    destination: str,
+    num_samples: int,
+    stamps: list[str] | None = None,
+    background_dir: str | None = None,
+    image_size=(224, 224),
+    output_size=(75, 75),
+    zoom_mode: bool = True,
+    seed: int = 0,
+):
+    """Offline tool parity: write ``images/<i>.png`` + tab-separated
+    ``images.csv`` with IoU labels (``paste_and_crop_sheep.py:178-228``)."""
+    stamp_imgs = (
+        [Image.open(s).convert("RGBA") for s in stamps] if stamps else None
+    )
+    bg_imgs = None
+    if background_dir:
+        bg_imgs = [
+            Image.open(os.path.join(background_dir, f)).convert("RGBA")
+            for f in sorted(os.listdir(background_dir))
+        ]
+    gen = PasteAndCropGenerator(
+        stamps=stamp_imgs,
+        backgrounds=bg_imgs,
+        image_size=tuple(image_size),
+        output_size=tuple(output_size),
+        seed=seed,
+    )
+    img_dir = os.path.join(destination, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    for i in range(num_samples):
+        if zoom_mode:
+            arr, label = gen.sample()
+            rows.append([f"images/{i}.png", format(label, ".4f")])
+        else:
+            scene = gen.paste()
+            crop = scene.image.crop(tuple(scene.paste_bbox)).convert("RGB")
+            crop = crop.resize(tuple(output_size), Image.BILINEAR)
+            arr = np.asarray(crop, dtype=np.float32) / 255.0
+            rows.append([f"images/{i}.png"])
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"{i}.png")
+        )
+    with open(os.path.join(destination, "images.csv"), "w") as handle:
+        csv.writer(handle, delimiter="\t").writerows(rows)
+    return os.path.join(destination, "images.csv")

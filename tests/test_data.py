@@ -1,0 +1,145 @@
+"""Data pipeline tests: synthetic compositor IoU labels, dataset formats,
+loader ordering/shapes."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from loans_tpu.data import (
+    DataLoader,
+    DiscriminatorImageDataset,
+    ImageDataset,
+    LabeledImageDataset,
+    PasteAndCropGenerator,
+    SyntheticAssessorDataset,
+    SyntheticLocalizerDataset,
+    device_prefetch,
+    generate_dataset,
+)
+
+
+def test_paste_and_crop_iou_labels_are_stratified():
+    gen = PasteAndCropGenerator(seed=0, image_size=(128, 128), output_size=(32, 32))
+    labels = [gen.sample()[1] for _ in range(60)]
+    labels = np.asarray(labels)
+    assert labels.min() >= 0.0 and labels.max() <= 1.0
+    # Stratification: both low- and high-IoU crops must appear.
+    assert (labels < 0.4).any() and (labels > 0.7).any()
+
+
+def test_scene_with_bbox_contains_stamp():
+    gen = PasteAndCropGenerator(seed=1, image_size=(96, 96))
+    img, bbox = gen.scene_with_bbox()
+    assert img.shape == (96, 96, 3)
+    y1, x1, y2, x2 = bbox
+    assert 0 <= y1 < y2 <= 96 and 0 <= x1 < x2 <= 96
+
+
+def test_synthetic_datasets():
+    ds = SyntheticAssessorDataset(8, output_size=(16, 16), image_size=(64, 64))
+    img, label = ds.get_example(0)
+    assert img.shape == (16, 16, 3)
+    assert label.shape == (1,)
+    loc = SyntheticLocalizerDataset(4, image_size=(64, 64), labeled=True)
+    img, bbox, score = loc.get_example(0)
+    assert img.shape == (64, 64, 3) and bbox.shape == (1, 4)
+
+
+def test_generate_dataset_and_reload(tmp_path):
+    csv_path = generate_dataset(str(tmp_path), 6, image_size=(64, 64), output_size=(16, 16))
+    assert os.path.exists(csv_path)
+    ds = LabeledImageDataset(csv_path, image_size=(16, 16))
+    assert len(ds) == 6
+    img, label, score = ds.get_example(0)
+    assert img.shape == (16, 16, 3)
+    assert img.dtype == np.float32
+    assert 0.0 <= img.max() <= 1.0
+    assert 0.0 <= float(label) <= 1.0
+
+
+def test_image_dataset_augment(tmp_path):
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        p = str(tmp_path / f"{i}.png")
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(p)
+    ds = ImageDataset(paths, image_size=(32, 32), transform_probability=1.0)
+    img = ds.get_example(0)
+    assert img.shape == (32, 32, 3)
+    assert img.dtype == np.float32
+    # no-imgaug fallback path
+    ds2 = ImageDataset(
+        paths, image_size=(32, 32), transform_probability=1.0, use_imgaug=False
+    )
+    assert ds2.get_example(1).shape == (32, 32, 3)
+
+
+def test_discriminator_dataset_constant_label(tmp_path):
+    p = str(tmp_path / "x.png")
+    Image.fromarray(np.zeros((20, 20, 3), dtype=np.uint8)).save(p)
+    ds = DiscriminatorImageDataset([p], image_size=(16, 16), label=1.0)
+    img, label = ds.get_example(0)
+    np.testing.assert_allclose(label, [1.0])
+
+
+def test_labeled_dataset_bbox_rescale(tmp_path):
+    p = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((100, 200, 3), dtype=np.uint8)).save(p)
+    pairs = [(p, [10.0, 20.0, 50.0, 180.0])]  # (y1, x1, y2, x2)
+    ds = LabeledImageDataset(pairs, image_size=(50, 100))
+    img, label, _ = ds.get_example(0)
+    assert img.shape == (50, 100, 3)
+    np.testing.assert_allclose(label[0], [5.0, 10.0, 25.0, 90.0])
+
+
+def test_labeled_dataset_bad_label_raises(tmp_path):
+    p = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((50, 50, 3), dtype=np.uint8)).save(p)
+    ds = LabeledImageDataset(
+        [(p, [0.0, 0.0, 500.0, 500.0])], image_size=(25, 25)
+    )
+    with pytest.raises(ValueError):
+        ds.check_for_bad_label(np.array([[0, 0, 500, 500]]), (50, 50))
+
+
+def test_dataloader_batching_and_order():
+    class Counting:
+        def __len__(self):
+            return 10
+
+        def get_example(self, i):
+            return np.full((2,), i, dtype=np.float32)
+
+    loader = DataLoader(Counting(), batch_size=4, shuffle=False, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    np.testing.assert_allclose(batches[0][:, 0], [0, 1, 2, 3])
+    np.testing.assert_allclose(batches[1][:, 0], [4, 5, 6, 7])
+
+
+def test_dataloader_repeat_and_shuffle():
+    class Counting:
+        def __len__(self):
+            return 8
+
+        def get_example(self, i):
+            return np.asarray([i], dtype=np.float32)
+
+    loader = DataLoader(
+        Counting(), batch_size=4, shuffle=True, repeat=True, seed=3
+    )
+    it = iter(loader)
+    seen = [tuple(np.asarray(next(it))[:, 0]) for _ in range(6)]
+    assert len(seen) == 6  # cycles past epoch boundary
+
+
+def test_device_prefetch_passthrough():
+    items = [np.ones((2, 2)) * i for i in range(5)]
+    out = list(device_prefetch(iter(items), put=lambda x: x * 2))
+    assert len(out) == 5
+    np.testing.assert_allclose(out[3], items[3] * 2)
