@@ -1,0 +1,100 @@
+"""Benchmark harness: alternating train-step throughput at the reference
+operating point (BASELINE.md): ResNet-50 localizer, 224x224 inputs,
+75x75 crops, batch 64, Adam(amsgrad).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.json "published": {});
+the north star is ">=5x Chainer-GPU images/sec". BASELINE_IMAGES_PER_SEC
+encodes that target as 5 x ~80 img/s — a documented estimate of the
+Chainer 4.1 reference (ResNet-50 forward + STN + assessor fwd/bwd x2,
+batch 16-64, 1080Ti-class GPU of the paper's era). vs_baseline >= 1.0
+therefore means the north-star multiple is met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 5 * 80.0  # north-star: 5x estimated Chainer ref
+BATCH = 64
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from loans_tpu.models import Localizer, ResnetAssessor
+    from loans_tpu.ops import Size
+    from loans_tpu.parallel import create_mesh, replicate, shard_batch
+    from loans_tpu.train import (
+        AlternatingConfig,
+        adam_amsgrad,
+        create_train_state,
+        make_train_step,
+    )
+
+    img, crop = Size(224, 224), Size(75, 75)
+    localizer = Localizer(out_size=crop, n_layers=50, dtype=jnp.bfloat16)
+    assessor = ResnetAssessor(dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    loc_state = create_train_state(
+        localizer,
+        rng,
+        jnp.zeros((2, img.height, img.width, 3)),
+        adam_amsgrad(1e-3),
+        train=False,
+    )
+    ass_state = create_train_state(
+        assessor,
+        rng,
+        jnp.zeros((2, crop.height, crop.width, 3)),
+        adam_amsgrad(1e-3),
+    )
+
+    mesh = create_mesh()
+    loc_state = replicate(mesh, loc_state)
+    ass_state = replicate(mesh, ass_state)
+    gen = np.random.default_rng(0)
+    host_batch = {
+        "real": gen.uniform(size=(BATCH, crop.height, crop.width, 3)).astype(
+            np.float32
+        ),
+        "labels": gen.uniform(size=(BATCH, 1)).astype(np.float32),
+        "unlabeled": gen.uniform(
+            size=(BATCH, img.height, img.width, 3)
+        ).astype(np.float32),
+    }
+    batch = shard_batch(mesh, host_batch)
+
+    step = make_train_step(localizer, assessor, AlternatingConfig(image_size=img))
+    key = jax.random.key(1)
+    for _ in range(WARMUP):
+        loc_state, ass_state, metrics = step(loc_state, ass_state, batch, key)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loc_state, ass_state, metrics = step(loc_state, ass_state, batch, key)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    n_dev = len(jax.devices())
+    images_per_sec = BATCH * ITERS / dt
+    per_chip = images_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "localizer_train_images_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

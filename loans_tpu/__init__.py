@@ -17,3 +17,14 @@ this framework is TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Honor an explicit platform request even where site customization
+# pre-registers an accelerator backend and overrides JAX_PLATFORMS
+# (e.g. LOANS_PLATFORM=cpu for host-side smoke runs and CI).
+_platform = _os.environ.get("LOANS_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)

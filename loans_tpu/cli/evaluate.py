@@ -1,0 +1,72 @@
+"""Offline snapshot-sweep evaluation CLI (``evaluate.py`` parity).
+
+Usage: ``python evaluate.py <gt> <model_dir> [prefix]`` — sweep all
+``<prefix>*.msgpack`` snapshots in the log dir against the labeled
+dataset, resumably (already-scored snapshots are skipped,
+``--force-reset`` to restart), then plot metric curves and report the
+best snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="evaluate localizer snapshots")
+    p.add_argument("gt", help="labeled dataset (csv/json), or "
+                   "'synthetic[:N]'")
+    p.add_argument("model_dir", help="training log dir (with manifest.json)")
+    p.add_argument("snapshot_prefix", nargs="?", default="Localizer_")
+    p.add_argument("--batch-size", "-b", type=int, default=8,
+                   help="eval batch (the reference is locked to 1; jitted "
+                   "fixed-shape batching lifts that)")
+    p.add_argument("--iou-threshold", type=float, default=0.5)
+    p.add_argument("--force-reset", action="store_true",
+                   help="discard eval_results.json and re-evaluate all")
+    p.add_argument("--save-predictions", default=None, metavar="DIR",
+                   help="render per-sample predictions (+gt) to DIR/<iter>/")
+    p.add_argument("--num-workers", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    from loans_tpu.cli.train_localizer import _is_synthetic, _synthetic_n
+    from loans_tpu.data import DataLoader, LabeledImageDataset
+    from loans_tpu.data.synthetic import SyntheticLocalizerDataset
+    from loans_tpu.evaluation import Evaluator
+
+    args = get_parser().parse_args(argv)
+    evaluator = Evaluator(
+        args.model_dir,
+        snapshot_prefix=args.snapshot_prefix,
+        iou_threshold=args.iou_threshold,
+        force_reset=args.force_reset,
+    )
+    size = evaluator.image_size
+    if _is_synthetic(args.gt):
+        ds = SyntheticLocalizerDataset(
+            _synthetic_n(args.gt, 64),
+            image_size=tuple(size),
+            labeled=True,
+        )
+    else:
+        ds = LabeledImageDataset(args.gt, image_size=tuple(size))
+
+    def batches_factory():
+        return iter(
+            DataLoader(
+                ds, args.batch_size, shuffle=False, drop_last=True,
+                num_workers=args.num_workers,
+            )
+        )
+
+    evaluator.sweep(
+        batches_factory, save_predictions=args.save_predictions
+    )
+    evaluator.plot()
+    return evaluator.results
+
+
+if __name__ == "__main__":
+    main()

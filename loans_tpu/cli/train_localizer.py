@@ -1,0 +1,321 @@
+"""Unsupervised localizer+assessor training CLI.
+
+Parity with ``train_sheep_localizer.py`` (argparse surface :51-76,
+wiring :85-255): builds the unlabeled train set, the labeled assessor
+("reference") set and the validation set; localizer + assessor with two
+Adam(amsgrad) optimizers; the alternating update; a timestamped
+``<log_dir>/<timestamp>_<name>`` run dir with JSON log, manifest,
+snapshots, in-training mAP eval, BBoxPlotter, and the interactive /
+control-file command channel.
+
+TPU-first: one jitted alternating step over a data-parallel mesh;
+``--reference-file synthetic`` replaces the reference's MNIST quick mode
+(:94-96) as the download-free end-to-end smoke path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="train a localizer with an assessor (LoANs, TPU-native)"
+    )
+    p.add_argument("train_file", help="txt/csv of unlabeled train images, "
+                   "or 'synthetic[:N]' for generated scenes")
+    p.add_argument("reference_file", help="csv of labeled assessor crops "
+                   "(path<TAB>iou), or 'synthetic[:N]' / 'mnist'")
+    p.add_argument("val_file", help="csv/json of labeled validation images, "
+                   "or 'synthetic[:N]'")
+    p.add_argument("--batch-size", "-b", type=int, default=16)
+    p.add_argument("--target-size", type=int, nargs=2, default=[224, 224],
+                   help="input size (h w)")
+    p.add_argument("--crop-size", type=int, nargs=2, default=[75, 75],
+                   help="assessor crop size (h w)")
+    p.add_argument("--n-layers", type=int, default=50, choices=[18, 34, 50],
+                   help="localizer backbone depth")
+    p.add_argument("--learning-rate", "-lr", type=float, default=1e-3)
+    p.add_argument("--epochs", "-e", type=int, default=0,
+                   help="epochs over the train set (0 = use --iterations)")
+    p.add_argument("--iterations", "-it", type=int, default=1000)
+    p.add_argument("--log-dir", "-l", default="logs")
+    p.add_argument("--log-name", "-ln", default="training")
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--snapshot-interval", "-si", type=int, default=1000)
+    p.add_argument("--keep-snapshots", type=int, default=0,
+                   help="keep only the N newest snapshots (0 = all)")
+    p.add_argument("--localizer-target", type=float, default=1.0)
+    p.add_argument("--resume-localizer", "-rl", default=None)
+    p.add_argument("--resume-discriminator", "-rd", default=None,
+                   help="resume assessor AND freeze it (reference --rd)")
+    p.add_argument("--no-freeze", action="store_true",
+                   help="do not freeze the assessor when resuming it")
+    p.add_argument("--pretrained-model", default=None,
+                   help="backbone weights to load (head skipped)")
+    p.add_argument("--rotation-dropout-ratio", type=float, default=0.0)
+    p.add_argument("--grayscale-rois", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype")
+    p.add_argument("--plot-image", default=None,
+                   help="image rendered by the BBoxPlotter each interval")
+    p.add_argument("--plot-interval", type=int, default=0,
+                   help="BBoxPlotter cadence (0 = off; reference: 1)")
+    p.add_argument("--send-bboxes", default=None, metavar="HOST:PORT",
+                   help="stream plots to a show-progress viewer")
+    p.add_argument("--interactive", action="store_true",
+                   help="stdin REPL (shiftlr/setlr/quit/...)")
+    p.add_argument("--eval-batches", type=int, default=8,
+                   help="bounded in-training eval (FastEvaluator parity)")
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _is_synthetic(spec: str) -> bool:
+    return spec.startswith("synthetic") or spec == "mnist"
+
+
+def _synthetic_n(spec: str, default: int) -> int:
+    if ":" in spec:
+        return int(spec.split(":", 1)[1])
+    return default
+
+
+def build_datasets(args):
+    from loans_tpu.data import (
+        ImageDataset,
+        LabeledImageDataset,
+        SyntheticAssessorDataset,
+        SyntheticLocalizerDataset,
+        read_labeled_csv,
+    )
+
+    img = tuple(args.target_size)
+    crop = tuple(args.crop_size)
+    if _is_synthetic(args.train_file):
+        train = SyntheticLocalizerDataset(
+            _synthetic_n(args.train_file, 512), image_size=img,
+            seed=args.seed,
+        )
+    else:
+        train = ImageDataset(
+            args.train_file, image_size=img, seed=args.seed
+        )
+    if _is_synthetic(args.reference_file):
+        reference = SyntheticAssessorDataset(
+            _synthetic_n(args.reference_file, 1024),
+            output_size=crop,
+            image_size=img,
+            seed=args.seed + 1,
+        )
+    else:
+        reference = LabeledImageDataset(
+            read_labeled_csv(args.reference_file), image_size=crop
+        )
+    if _is_synthetic(args.val_file):
+        val = SyntheticLocalizerDataset(
+            _synthetic_n(args.val_file, 64), image_size=img,
+            seed=args.seed + 2, labeled=True,
+        )
+    else:
+        val = LabeledImageDataset(args.val_file, image_size=img)
+    return train, reference, val
+
+
+def main(argv=None):
+    from loans_tpu.data import DataLoader, device_prefetch
+    from loans_tpu.insights import BBoxPlotter
+    from loans_tpu.evaluation import MAPEvaluator
+    from loans_tpu.models import Localizer, ResnetAssessor
+    from loans_tpu.ops import Size
+    from loans_tpu.parallel import create_mesh, replicate, shard_batch
+    from loans_tpu.train import (
+        AlternatingConfig,
+        CommandChannel,
+        Hook,
+        Trainer,
+        adam_amsgrad,
+        checkpoint,
+        create_train_state,
+        make_train_step,
+    )
+
+    args = get_parser().parse_args(argv)
+    img = Size(*args.target_size)
+    crop = Size(*args.crop_size)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    log_dir = os.path.join(args.log_dir, f"{timestamp}_{args.log_name}")
+    os.makedirs(log_dir, exist_ok=True)
+
+    # -- models + states ---------------------------------------------------
+    localizer = Localizer(
+        out_size=crop,
+        n_layers=args.n_layers,
+        input_size=img,
+        rotation_dropout_ratio=args.rotation_dropout_ratio,
+        transform_rois_to_grayscale=args.grayscale_rois,
+        dtype=dtype,
+    )
+    assessor = ResnetAssessor(dtype=dtype)
+    rng = jax.random.key(args.seed)
+    loc_state = create_train_state(
+        localizer,
+        rng,
+        jnp.zeros((2, img.height, img.width, 3)),
+        adam_amsgrad(args.learning_rate),
+        train=False,
+    )
+    ass_state = create_train_state(
+        assessor,
+        rng,
+        jnp.zeros((2, crop.height, crop.width, 3)),
+        adam_amsgrad(args.learning_rate),
+    )
+    if args.pretrained_model:
+        params, stats = checkpoint.restore_params(
+            args.pretrained_model,
+            loc_state.params,
+            loc_state.batch_stats,
+            skip_prefixes=("param_predictor",),
+        )
+        loc_state = loc_state.replace(params=params, batch_stats=stats)
+
+    # -- manifest ----------------------------------------------------------
+    config = {k: v for k, v in vars(args).items()}
+    checkpoint.save_manifest(
+        log_dir,
+        {
+            "localizer": {
+                "model": "Localizer",
+                "kwargs": {
+                    "out_size": list(crop),
+                    "n_layers": args.n_layers,
+                    "input_size": list(img),
+                    "rotation_dropout_ratio": args.rotation_dropout_ratio,
+                    "transform_rois_to_grayscale": args.grayscale_rois,
+                },
+            },
+            "assessor": {"model": "ResnetAssessor", "kwargs": {}},
+            "snapshot_names": ["Localizer", "ResnetAssessor"],
+            "config": config,
+        },
+    )
+
+    # -- data --------------------------------------------------------------
+    train_ds, ref_ds, val_ds = build_datasets(args)
+    loader_kw = dict(
+        repeat=True, num_workers=args.num_workers, seed=args.seed
+    )
+    train_loader = DataLoader(train_ds, args.batch_size, **loader_kw)
+    ref_loader = DataLoader(ref_ds, args.batch_size, **loader_kw)
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} not divisible by "
+            f"{n_dev} devices"
+        )
+
+    def batches():
+        for unlabeled, ref in zip(iter(train_loader), iter(ref_loader)):
+            real, labels = ref[0], ref[1]
+            if isinstance(unlabeled, tuple):
+                unlabeled = unlabeled[0]
+            yield {
+                "real": real,
+                "labels": labels,
+                "unlabeled": unlabeled,
+            }
+
+    device_batches = device_prefetch(
+        batches(), lambda b: shard_batch(mesh, b)
+    )
+
+    # -- eval --------------------------------------------------------------
+    val_loader = DataLoader(
+        val_ds, max(args.batch_size // 2, 1), shuffle=False,
+        drop_last=True, num_workers=args.num_workers,
+    )
+    map_eval = MAPEvaluator(
+        localizer, img, max_batches=args.eval_batches
+    )
+
+    def eval_fn(trainer, iteration):
+        return map_eval(trainer.loc_state, iter(val_loader))
+
+    # -- hooks -------------------------------------------------------------
+    hooks = []
+    if args.plot_interval > 0:
+        if args.plot_image:
+            from loans_tpu.data import load_image, resize_image
+
+            plot_img = resize_image(
+                load_image(args.plot_image), (img.height, img.width)
+            ).astype(np.float32) / 255.0
+            gt = None
+        else:
+            plot_img, gt_box = val_ds.get_example(0)[:2]
+            gt = np.asarray(gt_box).reshape(-1, 4)
+        send_to = None
+        if args.send_bboxes:
+            host, port = args.send_bboxes.rsplit(":", 1)
+            send_to = (host, int(port))
+        plotter = BBoxPlotter(
+            localizer, assessor, plot_img, log_dir, gt_bbox=gt,
+            send_to=send_to,
+        )
+        hooks.append(
+            Hook(plotter, every=args.plot_interval, at_zero=True,
+                 name="bbox_plotter")
+        )
+
+    # -- iterations --------------------------------------------------------
+    iterations = args.iterations
+    if args.epochs:
+        iterations = args.epochs * len(train_loader)
+
+    step = make_train_step(
+        localizer,
+        assessor,
+        AlternatingConfig(
+            localizer_target=args.localizer_target,
+            freeze_assessor=bool(args.resume_discriminator)
+            and not args.no_freeze,
+            image_size=img,
+        ),
+    )
+    trainer = Trainer(
+        step,
+        replicate(mesh, loc_state),
+        replicate(mesh, ass_state),
+        device_batches,
+        log_dir,
+        max_iterations=iterations,
+        rng=jax.random.key(args.seed + 17),
+        config=config,
+        snapshot_interval=args.snapshot_interval,
+        log_interval=args.log_interval,
+        eval_fn=eval_fn,
+        hooks=hooks,
+        control=CommandChannel(log_dir, use_stdin=args.interactive),
+        keep_snapshots=args.keep_snapshots,
+    )
+    trainer.resume(args.resume_localizer, args.resume_discriminator)
+    print(f"training in {log_dir} on {n_dev} device(s)")
+    trainer.run()
+    print(f"done at iteration {trainer.iteration}; log dir: {log_dir}")
+    return log_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""In-training validation: mean IoU + VOC mAP on a held-out set.
+
+Parity with ``sheep/sheep_evaluator.py`` (``SheepMAPEvaluator``): forward
+the localizer in eval mode, turn the predicted affine params into
+clipped axis-aligned boxes (``train_utils/match_bbox.py:46-67``
+semantics via ``ops.geometry.corners_to_aabb``), report the mean of the
+per-sample best IoU and chainercv-style VOC mAP.
+
+TPU-first: the forward over the whole eval set runs as jitted
+fixed-shape batches; only the ragged gt matching runs on host. Bounded
+evaluation (``train_utils/train_utils.py:126-171`` ``FastEvaluator``) is
+the ``max_batches`` argument.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import numpy as np
+
+from loans_tpu.evaluation.metrics import AccuracyAccumulator
+from loans_tpu.evaluation.voc import eval_detection_voc
+from loans_tpu.ops.geometry import Size, corners_to_aabb, theta_corners
+from loans_tpu.train.steps import make_eval_step
+
+
+class MAPEvaluator:
+    """Callable evaluator over a loader of (image, bbox, score) batches."""
+
+    def __init__(
+        self,
+        localizer,
+        image_size: Size,
+        iou_thresh: float = 0.5,
+        max_batches: int | None = None,
+    ):
+        self.image_size = image_size
+        self.iou_thresh = iou_thresh
+        self.max_batches = max_batches
+        self._eval_step = make_eval_step(localizer, image_size)
+        self._boxes = jax.jit(
+            lambda theta: corners_to_aabb(
+                theta_corners(theta), image_size, clip=True
+            )
+        )
+
+    def __call__(self, loc_state, batches: Iterable) -> dict:
+        """``batches`` yields (images (N,H,W,3), gt_bboxes (N,R,4), ...).
+
+        gt boxes are (y_min, x_min, y_max, x_max) pixels; rows of all
+        zeros are padding.
+        """
+        acc = AccuracyAccumulator(self.iou_thresh)
+        pred_bb, pred_lb, pred_sc, gt_bb, gt_lb = [], [], [], [], []
+        for i, batch in enumerate(batches):
+            if self.max_batches is not None and i >= self.max_batches:
+                break
+            images, gt = batch[0], batch[1]
+            theta = self._eval_step(loc_state, images)
+            boxes = np.asarray(jax.device_get(self._boxes(theta)))
+            gt = np.asarray(gt)
+            for n in range(boxes.shape[0]):
+                gt_n = gt[n].reshape(-1, 4)
+                gt_n = gt_n[np.abs(gt_n).sum(axis=1) > 0]
+                acc.add(boxes[n : n + 1], gt_n)
+                pred_bb.append(boxes[n : n + 1])
+                pred_lb.append(np.zeros(1, dtype=np.int64))
+                pred_sc.append(np.ones(1, dtype=np.float64))
+                gt_bb.append(gt_n)
+                gt_lb.append(np.zeros(gt_n.shape[0], dtype=np.int64))
+        if not pred_bb:
+            return {"mean_iou": 0.0, "map": 0.0}
+        voc = eval_detection_voc(
+            pred_bb, pred_lb, pred_sc, gt_bb, gt_lb,
+            iou_thresh=self.iou_thresh,
+        )
+        out = acc.summary()
+        return {
+            "mean_iou": out["mean_iou"],
+            "map": voc["map"],
+            "ap/object": float(voc["ap"][0]) if len(voc["ap"]) else 0.0,
+        }

@@ -8,6 +8,7 @@ from loans_tpu.models.resnet import (
     BottleNeckStage,
     ResNet,
 )
+from loans_tpu.models.ssd import SSD, SSD300, SSD512
 
 __all__ = [
     "ResnetAssessor",
@@ -17,4 +18,7 @@ __all__ = [
     "BasicStage",
     "BottleNeckStage",
     "ResNet",
+    "SSD",
+    "SSD300",
+    "SSD512",
 ]

@@ -93,6 +93,10 @@ class ResnetAssessor(nn.Module):
         h = DownResBlock3(self.ch, self.dtype)(h)
         h = nn.relu(h)
         h = h.reshape(h.shape[0], -1)
+        # pre-head features for the BBoxPlotter PCA scatter
+        # (insights/bbox_plotter.py:264-281); captured only when the
+        # caller marks the "features" collection mutable.
+        self.sow("features", "pre_head", h)
         h = nn.Dense(
             self.output_dim,
             use_bias=False,

@@ -1,4 +1,5 @@
-"""Training harness: functional state, alternating step, schedules."""
+"""Training harness: functional state, alternating step, loop,
+checkpointing, logging, runtime control."""
 
 from loans_tpu.train.state import (
     TrainState,
@@ -11,6 +12,24 @@ from loans_tpu.train.steps import (
     make_train_step,
     mse,
 )
+from loans_tpu.train.checkpoint import (
+    list_snapshots,
+    load_manifest,
+    restore_params,
+    restore_state,
+    save_manifest,
+    save_params,
+    save_state,
+    snapshot_name,
+)
+from loans_tpu.train.control import CommandChannel, apply_commands
+from loans_tpu.train.logger import MetricsLog
+from loans_tpu.train.loop import (
+    Hook,
+    Trainer,
+    multiplicative_lr_decay,
+    two_state_lr_shifter,
+)
 
 __all__ = [
     "TrainState",
@@ -20,4 +39,19 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "mse",
+    "list_snapshots",
+    "load_manifest",
+    "restore_params",
+    "restore_state",
+    "save_manifest",
+    "save_params",
+    "save_state",
+    "snapshot_name",
+    "CommandChannel",
+    "apply_commands",
+    "MetricsLog",
+    "Hook",
+    "Trainer",
+    "multiplicative_lr_decay",
+    "two_state_lr_shifter",
 ]

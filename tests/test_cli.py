@@ -1,0 +1,108 @@
+"""End-to-end CLI smoke tests: train -> evaluate -> infer on synthetic
+data (the reference's MNIST quick-mode role, SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_log_dir(tmp_path_factory):
+    from loans_tpu.cli.train_localizer import main
+
+    tmp = tmp_path_factory.mktemp("train")
+    log_dir = main(
+        [
+            "synthetic:12",
+            "synthetic:12",
+            "synthetic:6",
+            "--batch-size", "8",
+            "--target-size", "32", "32",
+            "--crop-size", "8", "8",
+            "--n-layers", "18",
+            "--iterations", "3",
+            "--log-dir", str(tmp),
+            "--log-interval", "3",
+            "--snapshot-interval", "0",
+            "--eval-batches", "1",
+            "--plot-interval", "2",
+        ]
+    )
+    return log_dir
+
+
+def test_train_cli_artifacts(trained_log_dir):
+    assert os.path.exists(os.path.join(trained_log_dir, "manifest.json"))
+    log = json.load(open(os.path.join(trained_log_dir, "log")))
+    assert log[0]["batch_size"] == 8  # config folded into first entry
+    assert any("loss_localizer" in e for e in log)
+    assert any("map" in e for e in log)  # in-training eval ran
+    snaps = [
+        f for f in os.listdir(trained_log_dir) if f.endswith(".msgpack")
+    ]
+    assert any(f.startswith("Localizer_") for f in snaps)
+    assert any(f.startswith("ResnetAssessor_") for f in snaps)
+    # BBoxPlotter ran at iteration 0 and 2
+    assert os.path.exists(os.path.join(trained_log_dir, "bboxes", "0.png"))
+    assert os.path.exists(os.path.join(trained_log_dir, "bboxes", "2.png"))
+
+
+def test_evaluate_cli_sweep_and_resume(trained_log_dir, capsys):
+    from loans_tpu.cli.evaluate import main
+
+    results = main(
+        ["synthetic:8", trained_log_dir, "--batch-size", "4"]
+    )
+    assert len(results.entries) >= 1
+    assert "map" in results.entries[0]
+    n = len(results.entries)
+    # resume: nothing new to evaluate
+    results2 = main(
+        ["synthetic:8", trained_log_dir, "--batch-size", "4"]
+    )
+    assert len(results2.entries) == n
+    assert os.path.exists(os.path.join(trained_log_dir, "plot.png"))
+
+
+def test_inference_wrapper(trained_log_dir):
+    from loans_tpu.inference import LocalizerInference
+
+    loc = LocalizerInference(
+        trained_log_dir, use_assessor=True, use_visual_backprop=True
+    )
+    image = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(
+        np.float32
+    )
+    boxes, rois, scores, heat = loc.localize(image)
+    assert boxes.shape == (1, 4)
+    assert rois.shape[1:3] == (8, 8)
+    assert heat is not None and heat.shape == (32, 32, 3)
+    # visualize on a fake BGR frame
+    frame = (image * 255).astype(np.uint8)
+    out = loc.visualize_results(frame, boxes, scores)
+    assert out.shape == frame.shape
+
+
+def test_async_localizer(trained_log_dir):
+    from loans_tpu.inference import AsynchronousLocalizer, LocalizerInference
+
+    loc = LocalizerInference(trained_log_dir)
+    worker = AsynchronousLocalizer(loc).start_localization_worker()
+    try:
+        image = np.zeros((32, 32, 3), dtype=np.float32)
+        assert worker.submit(image)
+        import time
+
+        result = None
+        for _ in range(100):
+            result = worker.get_result()
+            if result is not None:
+                break
+            time.sleep(0.1)
+        assert result is not None
+        boxes = result[0]
+        assert boxes.shape == (1, 4)
+    finally:
+        worker.shutdown()

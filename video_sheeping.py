@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Reference CLI surface shim -> `loans_tpu.cli.video_inference`."""
+
+from loans_tpu.cli.video_inference import main
+
+if __name__ == "__main__":
+    main()
