@@ -156,6 +156,104 @@ def cmd_strip_params(args):
     print(f"wrote {args.output} (stripped {args.prefixes})")
 
 
+def cmd_plot_log(args):
+    """Plot train/eval metric curves from a training log
+    (``train_utils/plotting.py`` ``LogPlotter``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from loans_tpu.train.logger import MetricsLog
+
+    entries = MetricsLog.read(args.log)
+    entries = [e for e in entries if "iteration" in e]
+    if not entries:
+        raise SystemExit("no metric entries in log")
+    keys = args.keys or [
+        k
+        for k in entries[-1]
+        if k not in ("iteration", "elapsed_time", "lr")
+        and isinstance(entries[-1][k], (int, float))
+    ]
+    n = len(keys)
+    fig, axes = plt.subplots(
+        (n + 1) // 2, 2, figsize=(11, 3 * ((n + 1) // 2)), squeeze=False
+    )
+    its = [e["iteration"] for e in entries]
+    for ax, key in zip(axes.flat, keys):
+        ax.plot(its, [e.get(key, float("nan")) for e in entries])
+        ax.set_title(key)
+        ax.set_xlabel("iteration")
+    fig.tight_layout()
+    fig.savefig(args.output, dpi=120)
+    print(f"plotted {keys} -> {args.output}")
+
+
+def cmd_convert_snapshot(args):
+    """Full-trainer snapshot -> model-only params snapshot
+    (``schaaaafrichter/convert_model.py`` parity: strips optimizer
+    state)."""
+    from flax import serialization
+
+    with open(args.snapshot, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    payload = {
+        "params": raw.get("params", {}),
+        "batch_stats": raw.get("batch_stats", {}),
+    }
+    with open(args.output, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    print(f"wrote model-only snapshot {args.output}")
+
+
+def cmd_generate_scenes(args):
+    """Paste stamps into annotated background bboxes, emit
+    ``train_info.json``/``test_info.json``
+    (``schaaaafrichter/generation/generate.py`` parity, fixed seed)."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    with open(args.annotations) as f:
+        backgrounds = json.load(f)
+    stamps = [Image.open(s).convert("RGBA") for s in args.stamps]
+    rng = random.Random(args.seed)
+    os.makedirs(os.path.join(args.destination, "images"), exist_ok=True)
+    records = []
+    idx = 0
+    for bg_entry in backgrounds:
+        bg = Image.open(bg_entry["image"]).convert("RGB")
+        for _ in range(args.per_background):
+            canvas = bg.copy()
+            boxes = []
+            for y1, x1, y2, x2 in bg_entry.get("bounding_boxes", []):
+                stamp = rng.choice(stamps)
+                w, h = int(x2 - x1), int(y2 - y1)
+                if w <= 0 or h <= 0:
+                    continue
+                resized = stamp.resize((w, h), Image.LANCZOS)
+                canvas.paste(resized, (int(x1), int(y1)), resized)
+                boxes.append([float(y1), float(x1), float(y2), float(x2)])
+            name = f"images/{idx}.png"
+            canvas.save(os.path.join(args.destination, name))
+            records.append({"image": name, "bounding_boxes": boxes})
+            idx += 1
+    rng.shuffle(records)
+    split = int(len(records) * (1 - args.test_fraction))
+    for fname, recs in (
+        ("train_info.json", records[:split]),
+        ("test_info.json", records[split:]),
+    ):
+        with open(os.path.join(args.destination, fname), "w") as f:
+            json.dump(recs, f, indent=2)
+    print(
+        f"generated {len(records)} scenes "
+        f"({split} train / {len(records) - split} test)"
+    )
+
+
 def get_parser():
     p = argparse.ArgumentParser(description="loans_tpu dataset tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,6 +299,28 @@ def get_parser():
     s.add_argument("output")
     s.add_argument("--prefixes", nargs="+", default=["param_predictor"])
     s.set_defaults(fn=cmd_strip_params)
+
+    s = sub.add_parser("plot_log", help="plot metric curves from a log")
+    s.add_argument("log", help="log file or training log dir")
+    s.add_argument("output")
+    s.add_argument("--keys", nargs="+", default=None)
+    s.set_defaults(fn=cmd_plot_log)
+
+    s = sub.add_parser("convert_snapshot",
+                       help="strip optimizer state from a snapshot")
+    s.add_argument("snapshot")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_convert_snapshot)
+
+    s = sub.add_parser("generate_scenes",
+                       help="paste stamps into annotated background bboxes")
+    s.add_argument("annotations", help="json [{'image','bounding_boxes'}]")
+    s.add_argument("destination")
+    s.add_argument("--stamps", nargs="+", required=True)
+    s.add_argument("--per-background", type=int, default=1)
+    s.add_argument("--test-fraction", type=float, default=0.2)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_generate_scenes)
     return p
 
 

@@ -75,6 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="bounded in-training eval (FastEvaluator parity)")
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", type=int, nargs=2, default=None,
+                   metavar=("START", "STEPS"),
+                   help="capture a JAX profiler trace for STEPS "
+                   "iterations starting at START")
     return p
 
 
@@ -277,6 +281,16 @@ def main(argv=None):
         hooks.append(
             Hook(plotter, every=args.plot_interval, at_zero=True,
                  name="bbox_plotter")
+        )
+    if args.profile:
+        from loans_tpu.train.profiling import ProfileHook
+
+        hooks.append(
+            Hook(
+                ProfileHook(log_dir, args.profile[0], args.profile[1]),
+                every=1,
+                name="profiler",
+            )
         )
 
     # -- iterations --------------------------------------------------------

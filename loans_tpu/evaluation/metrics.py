@@ -18,8 +18,21 @@ def non_maximum_suppression(
     """Greedy NMS (chainercv semantics); returns kept indices.
 
     ``bbox`` is (N, 4) yxyx; with ``score`` given, boxes are visited in
-    descending score order.
+    descending score order. Dispatches to the native C++ kernel
+    (``loans_tpu/native``) when available; this python loop is the
+    reference fallback.
     """
+    from loans_tpu import native
+
+    if native.get_lib() is not None:
+        return native.nms(bbox, thresh, score)
+    return _nms_python(bbox, thresh, score)
+
+
+def _nms_python(
+    bbox: np.ndarray, thresh: float, score: np.ndarray | None = None
+) -> np.ndarray:
+    """Pure-python reference NMS (fallback + test oracle)."""
     bbox = np.asarray(bbox, dtype=np.float64).reshape(-1, 4)
     if bbox.shape[0] == 0:
         return np.zeros((0,), dtype=np.int64)

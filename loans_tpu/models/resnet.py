@@ -257,6 +257,7 @@ class ResNet(nn.Module):
             (7, 7),
             strides=(2, 2),
             padding=[(3, 3), (3, 3)],
+            use_bias=False,  # BN follows; matches torch/chainer resnets
             kernel_init=_he,
             dtype=self.dtype,
         )(x)

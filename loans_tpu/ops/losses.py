@@ -159,3 +159,47 @@ def transform_param_regression_loss(
         jnp.sum(valid), 1
     )
     return reg_loss, obj_loss
+
+
+def iou_loss(
+    pred_boxes: jax.Array, gt_boxes: jax.Array
+) -> jax.Array:
+    """1 - mean elementwise IoU of matched (y1, x1, y2, x2) box pairs.
+
+    Parity with the reference's available-but-unwired ``IOUCalculator``
+    (``common/utils.py:21-85``), which scores predicted grid aabbs
+    against gt boxes; usable as a supervised localizer loss.
+    """
+    from loans_tpu.ops.geometry import elementwise_iou
+
+    return 1.0 - jnp.mean(elementwise_iou(pred_boxes, gt_boxes))
+
+
+def smooth_iou_loss(
+    pred_boxes: jax.Array, gt_boxes: jax.Array, beta: float = 1.0
+) -> jax.Array:
+    """Differentiable IoU with softplus-smoothed intersection clamping.
+
+    Parity with ``SmoothIOUCalculator`` (``common/utils.py:88-134``):
+    the hard ``max(0, .)`` on intersection extents (zero gradient once
+    boxes separate) is replaced by ``softplus_beta``, so gradients keep
+    pulling disjoint boxes together.
+    """
+    tl = jnp.maximum(pred_boxes[:, :2], gt_boxes[:, :2])
+    br = jnp.minimum(pred_boxes[:, 2:], gt_boxes[:, 2:])
+    wh = jax.nn.softplus((br - tl) * beta) / beta
+    inter = wh[:, 0] * wh[:, 1]
+    area_p = jnp.prod(
+        jnp.clip(pred_boxes[:, 2:] - pred_boxes[:, :2], 0.0), axis=1
+    )
+    area_g = jnp.prod(
+        jnp.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0.0), axis=1
+    )
+    union = jnp.maximum(area_p + area_g - inter, 1e-6)
+    return 1.0 - jnp.mean(inter / union)
+
+
+def random_pairs(rng: jax.Array, n: int) -> jax.Array:
+    """Random index pairing (``common/utils.py:11-18``): a shuffled
+    partner index for each of n elements."""
+    return jax.random.permutation(rng, n)
