@@ -37,7 +37,10 @@ def main():
     )
 
     img, crop = Size(224, 224), Size(75, 75)
-    localizer = Localizer(out_size=crop, n_layers=50, dtype=jnp.bfloat16)
+    localizer = Localizer(
+        out_size=crop, n_layers=50, dtype=jnp.bfloat16,
+        norm_dtype=jnp.bfloat16,
+    )
     assessor = ResnetAssessor(dtype=jnp.bfloat16)
     rng = jax.random.key(0)
     loc_state = create_train_state(

@@ -32,7 +32,7 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     from loans_tpu.cli.train_localizer import _is_synthetic, _synthetic_n
-    from loans_tpu.data import DataLoader, LabeledImageDataset
+    from loans_tpu.data import DataLoader, LabeledImageDataset, padded_collate
     from loans_tpu.data.synthetic import SyntheticLocalizerDataset
     from loans_tpu.evaluation import Evaluator
 
@@ -57,7 +57,7 @@ def main(argv=None):
         return iter(
             DataLoader(
                 ds, args.batch_size, shuffle=False, drop_last=True,
-                num_workers=args.num_workers,
+                num_workers=args.num_workers, collate=padded_collate,
             )
         )
 

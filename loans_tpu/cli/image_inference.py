@@ -43,10 +43,10 @@ def iter_image_paths(args):
 def main(argv=None):
     import cv2
 
-    from loans_tpu.inference import LocalizerInference
+    from loans_tpu.inference.ssd import load_inference
 
     args = get_parser().parse_args(argv)
-    localizer = LocalizerInference(
+    localizer = load_inference(
         args.model_dir,
         snapshot=args.snapshot,
         score_threshold=args.score_threshold,
@@ -76,7 +76,13 @@ def main(argv=None):
                 ),
                 cv2.resize(heat[..., ::-1], (frame.shape[1], frame.shape[0])),
             )
-        print(f"{path}: box={boxes[0].tolist()} score={float(scores[0]):.3f}")
+        if len(boxes):
+            print(
+                f"{path}: box={boxes[0].tolist()} "
+                f"score={float(scores[0]):.3f}"
+            )
+        else:
+            print(f"{path}: no detections")
 
 
 if __name__ == "__main__":

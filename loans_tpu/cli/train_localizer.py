@@ -62,7 +62,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotation-dropout-ratio", type=float, default=0.0)
     p.add_argument("--grayscale-rois", action="store_true")
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 compute dtype")
+                   help="bfloat16 compute dtype (convs AND batchnorm; "
+                   "params/optimizer stay float32)")
+    p.add_argument("--bn-f32", action="store_true",
+                   help="keep BatchNorm in float32 under --bf16 "
+                   "(slower, conservative numerics)")
     p.add_argument("--plot-image", default=None,
                    help="image rendered by the BBoxPlotter each interval")
     p.add_argument("--plot-interval", type=int, default=0,
@@ -168,6 +172,7 @@ def main(argv=None):
         rotation_dropout_ratio=args.rotation_dropout_ratio,
         transform_rois_to_grayscale=args.grayscale_rois,
         dtype=dtype,
+        norm_dtype=jnp.float32 if (args.bn_f32 or not args.bf16) else dtype,
     )
     assessor = ResnetAssessor(dtype=dtype)
     rng = jax.random.key(args.seed)
@@ -246,9 +251,12 @@ def main(argv=None):
     )
 
     # -- eval --------------------------------------------------------------
+    from loans_tpu.data import padded_collate
+
     val_loader = DataLoader(
         val_ds, max(args.batch_size // 2, 1), shuffle=False,
         drop_last=True, num_workers=args.num_workers,
+        collate=padded_collate,
     )
     map_eval = MAPEvaluator(
         localizer, img, max_batches=args.eval_batches

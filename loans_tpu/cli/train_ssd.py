@@ -37,9 +37,41 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--plot-interval", type=int, default=0,
+                   help="render detections on a fixed val image every N "
+                   "iterations (schaaaafrichter BBOXPlotter: 10)")
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+class SSDPlotHook:
+    """Draw current detections on one fixed image
+    (``schaaaafrichter/insights/bbox_plotter.py`` parity)."""
+
+    def __init__(self, evaluator, image, gt, log_dir):
+        import os
+
+        self.evaluator = evaluator
+        self.image = np.asarray(image, dtype=np.float32)
+        self.gt = np.asarray(gt, dtype=np.float32).reshape(-1, 4)
+        self.out_dir = os.path.join(log_dir, "bboxes")
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def __call__(self, trainer, iteration):
+        import jax.numpy as jnp
+
+        from loans_tpu.insights.rendering import draw_boxes_on_image
+
+        (boxes, _, scores), = self.evaluator.detect(
+            trainer.loc_state, jnp.asarray(self.image[None])
+        )
+        gt = self.gt[np.abs(self.gt).sum(axis=1) > 0]
+        canvas = draw_boxes_on_image(
+            (self.image * 255).astype(np.uint8), boxes,
+            gt_boxes=gt, scores=scores,
+        )
+        canvas.save(f"{self.out_dir}/{iteration}.png")
 
 
 class _SyntheticSSDAdapter:
@@ -168,6 +200,11 @@ def main(argv=None):
         val_ds = _ValAdapter(args.val_file, size)
 
     mesh = create_mesh()
+    if args.batch_size % mesh.devices.size:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} not divisible by "
+            f"{mesh.devices.size} devices"
+        )
     state = create_train_state(
         model,
         jax.random.key(args.seed),
@@ -195,6 +232,20 @@ def main(argv=None):
             return evaluator(trainer.loc_state, iter(val_loader))
         return {}
 
+    hooks = []
+    if args.plot_interval > 0:
+        from loans_tpu.train import Hook
+
+        plot_img, plot_gt = val_ds.get_example(0)[:2]
+        hooks.append(
+            Hook(
+                SSDPlotHook(evaluator, plot_img, plot_gt, log_dir),
+                every=args.plot_interval,
+                at_zero=True,
+                name="ssd_plotter",
+            )
+        )
+
     trainer = Trainer(
         make_ssd_train_step(model),
         state,
@@ -207,6 +258,7 @@ def main(argv=None):
         snapshot_interval=args.snapshot_interval,
         log_interval=args.log_interval,
         eval_fn=eval_fn,
+        hooks=hooks,
         snapshot_names=(model_name,),
     )
     if args.resume:

@@ -41,10 +41,10 @@ def main(argv=None):
     import cv2
     import numpy as np
 
-    from loans_tpu.inference import LocalizerInference
+    from loans_tpu.inference.ssd import load_inference
 
     args = get_parser().parse_args(argv)
-    localizer = LocalizerInference(
+    localizer = load_inference(
         args.model_dir,
         snapshot=args.snapshot,
         score_threshold=args.score_threshold,

@@ -12,7 +12,12 @@ from loans_tpu.data.datasets import (
     resize_bbox,
     resize_image,
 )
-from loans_tpu.data.loader import DataLoader, default_collate, device_prefetch
+from loans_tpu.data.loader import (
+    DataLoader,
+    default_collate,
+    device_prefetch,
+    padded_collate,
+)
 from loans_tpu.data.synthetic import (
     PasteAndCropGenerator,
     SyntheticAssessorDataset,
@@ -33,6 +38,7 @@ __all__ = [
     "DataLoader",
     "default_collate",
     "device_prefetch",
+    "padded_collate",
     "PasteAndCropGenerator",
     "SyntheticAssessorDataset",
     "SyntheticLocalizerDataset",

@@ -40,6 +40,37 @@ def default_collate(examples: list[Any]) -> Any:
     return np.stack([np.asarray(ex) for ex in examples], axis=0)
 
 
+def padded_collate(examples: list[Any], padding: float = 0.0) -> Any:
+    """Collate ragged examples by zero-padding to the per-field max
+    shape (chainer ``concat_and_pad_examples``,
+    ``train_utils/train_utils.py:243-251``) — e.g. variable numbers of
+    gt boxes per image. Padded gt rows are all-``padding`` and filtered
+    by the evaluators' zero-row masks.
+    """
+    first = examples[0]
+    if isinstance(first, (tuple, list)):
+        return tuple(
+            padded_collate([ex[k] for ex in examples], padding)
+            for k in range(len(first))
+        )
+    if isinstance(first, dict):
+        return {
+            k: padded_collate([ex[k] for ex in examples], padding)
+            for k in first
+        }
+    arrays = [np.asarray(ex) for ex in examples]
+    shapes = np.array([a.shape for a in arrays])
+    if (shapes == shapes[0]).all():
+        return np.stack(arrays, axis=0)
+    target = shapes.max(axis=0)
+    out = np.full(
+        (len(arrays), *target), padding, dtype=arrays[0].dtype
+    )
+    for i, a in enumerate(arrays):
+        out[(i,) + tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
 class DataLoader:
     """Thread-pooled, order-preserving batch loader.
 
@@ -131,11 +162,14 @@ def device_prefetch(
     """
     queue: Queue = Queue(maxsize=size)
     sentinel = object()
+    error: list[BaseException] = []
 
     def producer():
         try:
             for item in iterator:
                 queue.put(put(item))
+        except BaseException as e:  # re-raised on the consumer side
+            error.append(e)
         finally:
             queue.put(sentinel)
 
@@ -144,5 +178,7 @@ def device_prefetch(
     while True:
         item = queue.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item

@@ -67,14 +67,33 @@ class Evaluator:
         results_name: str = "eval_results.json",
     ):
         self.log_dir = log_dir
-        self.snapshot_prefix = snapshot_prefix
         manifest = checkpoint.load_manifest(log_dir)
         self.manifest = manifest
         loc_cfg = manifest["localizer"]
+        self.is_ssd = loc_cfg["model"].upper().startswith("SSD")
         self.localizer = build_model(loc_cfg["model"], **loc_cfg["kwargs"])
-        self.image_size = self.localizer.input_size
-        self.map_eval = MAPEvaluator(
-            self.localizer, self.image_size, iou_thresh=iou_threshold
+        if self.is_ssd:
+            from loans_tpu.evaluation.ssd_eval import SSDEvaluator
+            from loans_tpu.ops.geometry import Size
+
+            s = self.localizer.input_size
+            self.image_size = Size(s, s)
+            self.map_eval = SSDEvaluator(
+                self.localizer, self.localizer.coder()
+            )
+            default_prefix = manifest.get(
+                "snapshot_names", [loc_cfg["model"]]
+            )[0] + "_"
+        else:
+            self.image_size = self.localizer.input_size
+            self.map_eval = MAPEvaluator(
+                self.localizer, self.image_size, iou_thresh=iou_threshold
+            )
+            default_prefix = None
+        self.snapshot_prefix = (
+            default_prefix
+            if self.is_ssd and snapshot_prefix == "Localizer_"
+            else snapshot_prefix
         )
         self.results = EvalResults(
             os.path.join(log_dir, results_name), force_reset=force_reset
@@ -126,8 +145,13 @@ class Evaluator:
                     f"{name}: map={entry.get('map', 0):.4f} "
                     f"mean_iou={entry.get('mean_iou', 0):.4f}"
                 )
-                if save_predictions:
+                if save_predictions and not self.is_ssd:
                     self._render_predictions(
+                        snap_state, batches_factory(), iteration,
+                        save_predictions,
+                    )
+                elif save_predictions:
+                    self._render_ssd_predictions(
                         snap_state, batches_factory(), iteration,
                         save_predictions,
                     )
@@ -159,6 +183,30 @@ class Evaluator:
                     img,
                     boxes[n : n + 1],
                     gt_boxes=gt_n if render_gt else None,
+                )
+                canvas.save(os.path.join(dest, f"{idx}.png"))
+                idx += 1
+
+    def _render_ssd_predictions(
+        self, state, batches, iteration: int, out_dir: str
+    ):
+        from loans_tpu.insights.rendering import draw_boxes_on_image
+
+        dest = os.path.join(out_dir, str(iteration))
+        os.makedirs(dest, exist_ok=True)
+        idx = 0
+        for batch in batches:
+            images, gt = batch[0], batch[1]
+            for (boxes, _, scores), img, gt_n in zip(
+                self.map_eval.detect(state, images),
+                np.asarray(images),
+                np.asarray(gt),
+            ):
+                gt_n = gt_n.reshape(-1, 4)
+                gt_n = gt_n[np.abs(gt_n).sum(axis=1) > 0]
+                canvas = draw_boxes_on_image(
+                    (img * 255).astype(np.uint8), boxes,
+                    gt_boxes=gt_n, scores=scores,
                 )
                 canvas.save(os.path.join(dest, f"{idx}.png"))
                 idx += 1

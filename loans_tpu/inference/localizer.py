@@ -206,9 +206,14 @@ class LocalizerInference:
         out = np.ascontiguousarray(np.asarray(image))
         thickness = max(1, min(out.shape[:2]) // 200)
         font_scale = max(0.4, min(out.shape[:2]) / 600)
+        h, w = out.shape[:2]
         for i, (y1, x1, y2, x2) in enumerate(
             np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
         ):
+            if not np.isfinite([y1, x1, y2, x2]).all():
+                continue
+            x1, x2 = np.clip([x1, x2], -w, 2 * w)
+            y1, y2 = np.clip([y1, y2], -h, 2 * h)
             if x2 - x1 <= 0 or y2 - y1 <= 0:
                 continue
             cv2.rectangle(

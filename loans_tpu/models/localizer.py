@@ -78,9 +78,15 @@ class Localizer(nn.Module):
     sampler: str = "auto"
     transform_rois_to_grayscale: bool = False
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     def _backbone(self):
-        return ResNet(self.n_layers, dtype=self.dtype, name="feature_extractor")
+        return ResNet(
+            self.n_layers,
+            dtype=self.dtype,
+            norm_dtype=self.norm_dtype,
+            name="feature_extractor",
+        )
 
     @nn.compact
     def __call__(self, images, train: bool = True):
@@ -138,13 +144,17 @@ class Localizer(nn.Module):
 
     def _res6(self):
         if self.n_layers in (18, 34):
-            return BasicStage(2, 512, 2, self.dtype, name="res6")
-        return BottleNeckStage(2, 1024, 2048, 2, self.dtype, name="res6")
+            return BasicStage(2, 512, 2, self.dtype, self.norm_dtype, name="res6")
+        return BottleNeckStage(
+            2, 1024, 2048, 2, self.dtype, self.norm_dtype, name="res6"
+        )
 
     def _res7(self):
         if self.n_layers in (18, 34):
-            return BasicStage(2, 512, 2, self.dtype, name="res7")
-        return BottleNeckStage(2, 1024, 2048, 2, self.dtype, name="res7")
+            return BasicStage(2, 512, 2, self.dtype, self.norm_dtype, name="res7")
+        return BottleNeckStage(
+            2, 1024, 2048, 2, self.dtype, self.norm_dtype, name="res7"
+        )
 
     def vbp_ladder(self):
         return localizer_vbp_ladder(self.n_layers, self.input_size)

@@ -122,7 +122,11 @@ class MultiboxCoder:
         yxyx boxes."""
         d = jnp.asarray(self.default_bbox)
         cy = mb_loc[..., :2] * self.variance[0] * d[:, 2:] + d[:, :2]
-        hw = jnp.exp(mb_loc[..., 2:] * self.variance[1]) * d[:, 2:]
+        # clip the log-size offset so untrained/garbage logits cannot
+        # overflow exp() into inf boxes (e^10 ~ 22000x the anchor)
+        hw = jnp.exp(
+            jnp.clip(mb_loc[..., 2:] * self.variance[1], -10.0, 10.0)
+        ) * d[:, 2:]
         tl = cy - hw / 2
         br = cy + hw / 2
         return jnp.concatenate([tl, br], axis=-1)

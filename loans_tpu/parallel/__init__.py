@@ -8,6 +8,11 @@ from loans_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from loans_tpu.parallel.distributed import (
+    assemble_global_batch,
+    initialize_distributed,
+    local_batch_slice,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -16,4 +21,7 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "assemble_global_batch",
+    "initialize_distributed",
+    "local_batch_slice",
 ]

@@ -143,3 +143,18 @@ def test_device_prefetch_passthrough():
     out = list(device_prefetch(iter(items), put=lambda x: x * 2))
     assert len(out) == 5
     np.testing.assert_allclose(out[3], items[3] * 2)
+
+
+def test_padded_collate_ragged_boxes():
+    from loans_tpu.data import padded_collate
+
+    ex1 = (np.zeros((4, 4, 3), np.float32), np.array([[1, 2, 3, 4]], np.float32))
+    ex2 = (
+        np.zeros((4, 4, 3), np.float32),
+        np.array([[1, 2, 3, 4], [5, 6, 7, 8]], np.float32),
+    )
+    imgs, boxes = padded_collate([ex1, ex2])
+    assert imgs.shape == (2, 4, 4, 3)
+    assert boxes.shape == (2, 2, 4)
+    assert (boxes[0, 1] == 0).all()  # padding row
+    np.testing.assert_allclose(boxes[1, 1], [5, 6, 7, 8])

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from loans_tpu.models.ssd import SSD300, SSD512
 from loans_tpu.ops.multibox import (
@@ -159,3 +160,27 @@ def test_ssd_evaluator_perfect_model():
     images = np.zeros((1, 300, 300, 3), np.float32)
     result = ev(FakeState(), [(images, gt)])
     assert result["map"] == 1.0
+
+
+@pytest.mark.slow
+def test_ssd_train_cli_smoke(tmp_path):
+    """End-to-end supervised SSD training on synthetic scenes."""
+    from loans_tpu.cli.train_ssd import main
+
+    log_dir = main([
+        "synthetic:8", "synthetic:4",
+        "--batch-size", "8", "--iterations", "2",
+        "--log-interval", "2", "--snapshot-interval", "0",
+        "--eval-interval", "2", "--eval-batches", "1",
+        "--plot-interval", "2",
+        "--log-dir", str(tmp_path),
+    ])
+    import json
+    import os
+
+    log = json.load(open(os.path.join(log_dir, "log")))
+    assert any("loss" in e for e in log)
+    assert any("map" in e for e in log)
+    assert os.path.exists(os.path.join(log_dir, "bboxes", "2.png"))
+    snaps = [f for f in os.listdir(log_dir) if f.startswith("SSD300_")]
+    assert snaps

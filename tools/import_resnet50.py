@@ -22,7 +22,10 @@ Usage:
   python tools/import_resnet50.py ResNet-50-model.npz out.msgpack --source chainer
 """
 
-from __future__ import annotations
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import sys
