@@ -154,6 +154,17 @@ class PasteAndCropGenerator:
         self.output_size = output_size
         self._iou_index = -1
 
+    def spawn(self, seed) -> "PasteAndCropGenerator":
+        """Lightweight copy sharing the (expensive) stamp/background
+        assets but with an independent RNG stream — lets dataset
+        pre-generation run deterministically across worker threads."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.rng = random.Random(seed)
+        clone._iou_index = clone.rng.randrange(len(IOU_RANGE))
+        return clone
+
     # -- compositing ------------------------------------------------------
     def paste(self) -> PasteResult:
         rng = self.rng
@@ -253,6 +264,25 @@ class PasteAndCropGenerator:
         return arr, np.array([y1, x1, y2, x2], dtype=np.float32)
 
 
+def _parallel_generate(base: PasteAndCropGenerator, n: int, seed, fn):
+    """Deterministic thread-parallel pre-generation: the work splits
+    into per-chunk generators (``spawn``), so results do not depend on
+    thread scheduling. PIL's C paths release the GIL."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(8, os.cpu_count() or 1)
+    chunks = np.array_split(np.arange(n), workers * 4)
+
+    def run(chunk_id):
+        g = base.spawn(hash((seed, int(chunk_id))) & 0x7FFFFFFF)
+        return [fn(g) for _ in range(len(chunks[chunk_id]))]
+
+    with ThreadPoolExecutor(workers) as pool:
+        parts = list(pool.map(run, range(len(chunks))))
+    return [item for part in parts for item in part]
+
+
 class SyntheticAssessorDataset:
     """Fixed-size dataset of pre-generated (crop, iou) pairs."""
 
@@ -262,7 +292,9 @@ class SyntheticAssessorDataset:
             output_size=(output_size[1], output_size[0]),
             seed=seed,
         )
-        self.items = [gen.sample() for _ in range(n)]
+        self.items = _parallel_generate(
+            gen, n, seed, lambda g: g.sample()
+        )
 
     def __len__(self):
         return len(self.items)
@@ -281,7 +313,9 @@ class SyntheticLocalizerDataset:
     def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False):
         gen = PasteAndCropGenerator(image_size=image_size, seed=seed)
         self.labeled = labeled
-        self.items = [gen.scene_with_bbox() for _ in range(n)]
+        self.items = _parallel_generate(
+            gen, n, seed, lambda g: g.scene_with_bbox()
+        )
 
     def __len__(self):
         return len(self.items)

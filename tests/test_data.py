@@ -158,3 +158,15 @@ def test_padded_collate_ragged_boxes():
     assert boxes.shape == (2, 2, 4)
     assert (boxes[0, 1] == 0).all()  # padding row
     np.testing.assert_allclose(boxes[1, 1], [5, 6, 7, 8])
+
+
+def test_synthetic_parallel_generation_deterministic():
+    from loans_tpu.data.synthetic import SyntheticAssessorDataset
+
+    a = SyntheticAssessorDataset(24, output_size=(8, 8), image_size=(32, 32))
+    b = SyntheticAssessorDataset(24, output_size=(8, 8), image_size=(32, 32))
+    for i in (0, 7, 23):
+        img_a, iou_a = a.get_example(i)
+        img_b, iou_b = b.get_example(i)
+        np.testing.assert_allclose(img_a, img_b)
+        np.testing.assert_allclose(iou_a, iou_b)
