@@ -110,7 +110,7 @@ def build_datasets(args):
     if _is_synthetic(args.train_file):
         train = SyntheticLocalizerDataset(
             _synthetic_n(args.train_file, 512), image_size=img,
-            seed=args.seed,
+            seed=args.seed, output_dtype="uint8",
         )
     else:
         train = ImageDataset(
@@ -122,6 +122,7 @@ def build_datasets(args):
             output_size=crop,
             image_size=img,
             seed=args.seed + 1,
+            output_dtype="uint8",
         )
     else:
         reference = LabeledImageDataset(
@@ -130,7 +131,7 @@ def build_datasets(args):
     if _is_synthetic(args.val_file):
         val = SyntheticLocalizerDataset(
             _synthetic_n(args.val_file, 64), image_size=img,
-            seed=args.seed + 2, labeled=True,
+            seed=args.seed + 2, labeled=True, output_dtype="uint8",
         )
     else:
         val = LabeledImageDataset(args.val_file, image_size=img)

@@ -107,7 +107,9 @@ def read_bbox_json(path: str) -> list[tuple[str, list[float]]]:
 class ImageDataset:
     """Unlabeled image stream (``image_dataset.py:47-98``).
 
-    Returns HWC float32 images in [0, 1].
+    Returns HWC float32 images in [0, 1] (or raw uint8 with
+    ``output_dtype='uint8'`` — 4x cheaper host->device transfer; the
+    jitted steps normalize on device).
     """
 
     def __init__(
@@ -121,7 +123,9 @@ class ImageDataset:
         max_crop_ratio: float = 0.9,
         crop_always: bool = False,
         seed: int = 0,
+        output_dtype: str = "float32",
     ):
+        self.output_dtype = output_dtype
         if isinstance(paths, str):
             paths = read_path_list(paths)
         self.paths = list(paths)
@@ -163,6 +167,8 @@ class ImageDataset:
             )
         if self.image_size is not None:
             img = resize_image(img, self.image_size, self.image_mode)
+        if self.output_dtype == "uint8":
+            return np.ascontiguousarray(np.clip(img, 0, 255), dtype=np.uint8)
         return np.ascontiguousarray(img, dtype=np.float32) / 255.0
 
     def __getitem__(self, i):

@@ -250,15 +250,14 @@ class PasteAndCropGenerator:
         else:
             crop, iou = self.naive_zoom(scene)
         crop = crop.convert("RGB").resize(self.output_size, Image.BILINEAR)
-        arr = np.asarray(crop, dtype=np.float32) / 255.0
-        return arr, float(iou)
+        return np.asarray(crop, dtype=np.uint8), float(iou)
 
     def scene_with_bbox(self) -> tuple[np.ndarray, np.ndarray]:
         """Full composited scene + gt box (y1, x1, y2, x2) — for
         localizer training images and IoU/mAP eval."""
         scene = self.paste()
         arr = (
-            np.asarray(scene.image.convert("RGB"), dtype=np.float32) / 255.0
+            np.asarray(scene.image.convert("RGB"), dtype=np.uint8)
         )
         x1, y1, x2, y2 = scene.paste_bbox
         return arr, np.array([y1, x1, y2, x2], dtype=np.float32)
@@ -284,9 +283,15 @@ def _parallel_generate(base: PasteAndCropGenerator, n: int, seed, fn):
 
 
 class SyntheticAssessorDataset:
-    """Fixed-size dataset of pre-generated (crop, iou) pairs."""
+    """Fixed-size dataset of pre-generated (crop, iou) pairs.
 
-    def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0):
+    ``output_dtype='uint8'`` returns raw bytes (4x less host->device
+    bandwidth; the jitted train step normalizes on device).
+    """
+
+    def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
+                 output_dtype="float32"):
+        self.output_dtype = output_dtype
         gen = PasteAndCropGenerator(
             image_size=image_size,
             output_size=(output_size[1], output_size[0]),
@@ -301,6 +306,8 @@ class SyntheticAssessorDataset:
 
     def get_example(self, i):
         img, iou = self.items[i]
+        if self.output_dtype == "float32":
+            img = img.astype(np.float32) / 255.0
         return img, np.asarray([iou], dtype=np.float32)
 
     def __getitem__(self, i):
@@ -310,9 +317,11 @@ class SyntheticAssessorDataset:
 class SyntheticLocalizerDataset:
     """Fixed-size dataset of full scenes (+ gt boxes when labeled)."""
 
-    def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False):
+    def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False,
+                 output_dtype="float32"):
         gen = PasteAndCropGenerator(image_size=image_size, seed=seed)
         self.labeled = labeled
+        self.output_dtype = output_dtype
         self.items = _parallel_generate(
             gen, n, seed, lambda g: g.scene_with_bbox()
         )
@@ -322,6 +331,8 @@ class SyntheticLocalizerDataset:
 
     def get_example(self, i):
         img, bbox = self.items[i]
+        if self.output_dtype == "float32":
+            img = img.astype(np.float32) / 255.0
         if self.labeled:
             return img, bbox[None, :], np.zeros((1,), dtype=np.float32)
         return img
@@ -363,17 +374,15 @@ def generate_dataset(
     rows = []
     for i in range(num_samples):
         if zoom_mode:
-            arr, label = gen.sample()
+            arr, label = gen.sample()  # uint8 HWC
             rows.append([f"images/{i}.png", format(label, ".4f")])
         else:
             scene = gen.paste()
             crop = scene.image.crop(tuple(scene.paste_bbox)).convert("RGB")
             crop = crop.resize(tuple(output_size), Image.BILINEAR)
-            arr = np.asarray(crop, dtype=np.float32) / 255.0
+            arr = np.asarray(crop, dtype=np.uint8)
             rows.append([f"images/{i}.png"])
-        Image.fromarray((arr * 255).astype(np.uint8)).save(
-            os.path.join(img_dir, f"{i}.png")
-        )
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
     with open(os.path.join(destination, "images.csv"), "w") as handle:
         csv.writer(handle, delimiter="\t").writerows(rows)
     return os.path.join(destination, "images.csv")

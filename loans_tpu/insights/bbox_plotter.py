@@ -53,6 +53,8 @@ class BBoxPlotter:
         self.localizer = localizer
         self.assessor = assessor
         self.image = np.asarray(image, dtype=np.float32)
+        if self.image.max() > 1.5:  # uint8-range input
+            self.image = self.image / 255.0
         if self.image.ndim == 3:
             self.image = self.image[None]
         self.gt_bbox = gt_bbox

@@ -97,6 +97,14 @@ class ResnetAssessor(nn.Module):
         # (insights/bbox_plotter.py:264-281); captured only when the
         # caller marks the "features" collection mutable.
         self.sow("features", "pre_head", h)
+        # 1/sqrt(fan_in) feature scaling before the wide bias-free head.
+        # With Adam, one step moves every head weight by ~lr, so the
+        # logit swings by lr * sum|h| — ~±46 for the unscaled 19x19x128
+        # flatten, which saturates the sigmoid in one update and (under
+        # amsgrad's monotone v-hat) kills the assessor permanently.
+        # Scaling bounds the per-step logit swing to ~lr * sqrt(fan_in)
+        # * mean|h| without changing the function class.
+        h = h * (1.0 / jnp.sqrt(jnp.asarray(h.shape[-1], h.dtype)))
         h = nn.Dense(
             self.output_dim,
             use_bias=False,

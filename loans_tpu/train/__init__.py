@@ -11,6 +11,7 @@ from loans_tpu.train.steps import (
     make_eval_step,
     make_train_step,
     mse,
+    to_float01,
 )
 from loans_tpu.train.checkpoint import (
     list_snapshots,
@@ -39,6 +40,7 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "mse",
+    "to_float01",
     "list_snapshots",
     "load_manifest",
     "restore_params",
