@@ -72,18 +72,33 @@ def make_procedural_stamp(
 def make_procedural_background(
     rng: random.Random, size: tuple[int, int] = (256, 256)
 ) -> Image.Image:
-    """Low-frequency noise background (no object-like structure)."""
+    """Low-frequency muted background (no object-like structure).
+
+    Low saturation and limited value range so the bright saturated
+    stamps remain the only object-like structure — analogous to sheep
+    on pasture, rather than a background full of stamp-colored blobs.
+    """
     w, h = size
+    base = rng.randint(70, 150)
     small = np.stack(
         [
             np.asarray(
-                [[rng.randint(0, 255) for _ in range(8)] for _ in range(8)],
+                [
+                    [
+                        max(0, min(255, base + rng.randint(-35, 35)))
+                        for _ in range(8)
+                    ]
+                    for _ in range(8)
+                ],
                 dtype=np.uint8,
             )
             for _ in range(3)
         ],
         axis=-1,
     )
+    # pull channels toward their mean -> muted/gray-green tones
+    mean = small.mean(axis=-1, keepdims=True)
+    small = (0.6 * mean + 0.4 * small).astype(np.uint8)
     img = Image.fromarray(small, "RGB").resize((w, h), Image.BILINEAR)
     return img.convert("RGBA")
 
