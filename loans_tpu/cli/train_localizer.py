@@ -52,6 +52,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-snapshots", type=int, default=0,
                    help="keep only the N newest snapshots (0 = all)")
     p.add_argument("--localizer-target", type=float, default=1.0)
+    p.add_argument("--supervised", action="store_true",
+                   help="train the localizer directly on gt boxes "
+                   "(train_file must be labeled); no assessor")
     p.add_argument("--resume-localizer", "-rl", default=None)
     p.add_argument("--resume-discriminator", "-rd", default=None,
                    help="resume assessor AND freeze it (reference --rd)")
@@ -221,12 +224,28 @@ def main(argv=None):
     )
 
     # -- data --------------------------------------------------------------
-    train_ds, ref_ds, val_ds = build_datasets(args)
+    if args.supervised:
+        # labeled train set: reuse the val-style dataset over train_file
+        from loans_tpu.data import LabeledImageDataset
+        from loans_tpu.data.synthetic import SyntheticLocalizerDataset
+
+        if _is_synthetic(args.train_file):
+            train_ds = SyntheticLocalizerDataset(
+                _synthetic_n(args.train_file, 512), image_size=tuple(img),
+                seed=args.seed, labeled=True, output_dtype="uint8",
+            )
+        else:
+            train_ds = LabeledImageDataset(
+                args.train_file, image_size=tuple(img)
+            )
+        _, _, val_ds = build_datasets(args)
+        ref_ds = None
+    else:
+        train_ds, ref_ds, val_ds = build_datasets(args)
     loader_kw = dict(
         repeat=True, num_workers=args.num_workers, seed=args.seed
     )
     train_loader = DataLoader(train_ds, args.batch_size, **loader_kw)
-    ref_loader = DataLoader(ref_ds, args.batch_size, **loader_kw)
 
     mesh = create_mesh()
     n_dev = mesh.devices.size
@@ -236,16 +255,23 @@ def main(argv=None):
             f"{n_dev} devices"
         )
 
-    def batches():
-        for unlabeled, ref in zip(iter(train_loader), iter(ref_loader)):
-            real, labels = ref[0], ref[1]
-            if isinstance(unlabeled, tuple):
-                unlabeled = unlabeled[0]
-            yield {
-                "real": real,
-                "labels": labels,
-                "unlabeled": unlabeled,
-            }
+    if args.supervised:
+        batches = lambda: iter(train_loader)  # (img, bbox, score) tuples
+    else:
+        ref_loader = DataLoader(ref_ds, args.batch_size, **loader_kw)
+
+        def batches():
+            for unlabeled, ref in zip(
+                iter(train_loader), iter(ref_loader)
+            ):
+                real, labels = ref[0], ref[1]
+                if isinstance(unlabeled, tuple):
+                    unlabeled = unlabeled[0]
+                yield {
+                    "real": real,
+                    "labels": labels,
+                    "unlabeled": unlabeled,
+                }
 
     device_batches = device_prefetch(
         batches(), lambda b: shard_batch(mesh, b)
@@ -307,20 +333,23 @@ def main(argv=None):
     if args.epochs:
         iterations = args.epochs * len(train_loader)
 
-    step = make_train_step(
-        localizer,
-        assessor,
-        AlternatingConfig(
-            localizer_target=args.localizer_target,
-            freeze_assessor=bool(args.resume_discriminator)
-            and not args.no_freeze,
-            image_size=img,
-        ),
+    step_config = AlternatingConfig(
+        localizer_target=args.localizer_target,
+        freeze_assessor=bool(args.resume_discriminator)
+        and not args.no_freeze,
+        image_size=img,
     )
+    if args.supervised:
+        from loans_tpu.train import make_supervised_train_step
+
+        step = make_supervised_train_step(localizer, step_config)
+        ass_state = None
+    else:
+        step = make_train_step(localizer, assessor, step_config)
     trainer = Trainer(
         step,
         replicate(mesh, loc_state),
-        replicate(mesh, ass_state),
+        None if ass_state is None else replicate(mesh, ass_state),
         device_batches,
         log_dir,
         max_iterations=iterations,

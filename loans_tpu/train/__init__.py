@@ -9,6 +9,7 @@ from loans_tpu.train.state import (
 from loans_tpu.train.steps import (
     AlternatingConfig,
     make_eval_step,
+    make_supervised_train_step,
     make_train_step,
     mse,
     to_float01,
@@ -38,6 +39,7 @@ __all__ = [
     "create_train_state",
     "AlternatingConfig",
     "make_eval_step",
+    "make_supervised_train_step",
     "make_train_step",
     "mse",
     "to_float01",

@@ -147,3 +147,58 @@ def make_eval_step(localizer, image_size: Size):
         return theta
 
     return eval_step
+
+
+def make_supervised_train_step(localizer, config: AlternatingConfig):
+    """Supervised localizer training: regress gt boxes directly.
+
+    The reference ships the machinery for this unwired
+    (``TransformParameterRegressionLossCalculator``,
+    ``common/utils.py:242-298``; IoU calculators :21-134); this step is
+    the working version: Huber loss on the predicted aabb corners plus a
+    smooth-IoU term, with the usual direction/out-of-image regularizers.
+
+    ``batch = (images (N,H,W,C), gt_boxes (N,1,4) yxyx pixels, ...)``.
+    Trainer-shaped: ``(state, None, batch, rng) -> (state, None, metrics)``.
+    """
+    from loans_tpu.ops.geometry import corners_to_aabb
+    from loans_tpu.ops.losses import huber_loss, smooth_iou_loss
+
+    def train_step(state: TrainState, unused, batch, rng):
+        del unused
+        images = to_float01(batch[0])
+        gt = batch[1].reshape(images.shape[0], -1)[:, :4]
+
+        def loss_fn(params):
+            rngs = {"rotation_dropout": rng}
+            (_, theta), updates = localizer.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            corners = theta_corners(theta)
+            boxes = corners_to_aabb(corners, config.image_size, clip=False)
+            scale = float(
+                max(config.image_size.height, config.image_size.width)
+            )
+            reg = jnp.mean(huber_loss(boxes / scale, gt / scale))
+            iou = smooth_iou_loss(boxes, gt)
+            loss = reg + 0.5 * iou
+            loss = loss + direction_loss(corners, config.image_size)
+            loss = loss + out_of_image_loss(corners)
+            return loss, (updates["batch_stats"], reg, iou)
+
+        (loss, (new_bn, reg, iou)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bn)
+        metrics = {
+            "loss_localizer": loss,
+            "loss/box": reg,
+            "loss/iou": iou,
+        }
+        return state, None, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -106,3 +106,31 @@ def test_async_localizer(trained_log_dir):
         assert boxes.shape == (1, 4)
     finally:
         worker.shutdown()
+
+
+def test_supervised_train_cli(tmp_path):
+    """--supervised mode: localizer regresses gt boxes directly."""
+    from loans_tpu.cli.train_localizer import main
+
+    log_dir = main(
+        [
+            "synthetic:16",
+            "synthetic:4",
+            "synthetic:8",
+            "--supervised",
+            "--batch-size", "8",
+            "--target-size", "32", "32",
+            "--crop-size", "8", "8",
+            "--n-layers", "18",
+            "--iterations", "3",
+            "--log-dir", str(tmp_path),
+            "--log-interval", "3",
+            "--snapshot-interval", "0",
+            "--eval-batches", "1",
+        ]
+    )
+    log = json.load(open(os.path.join(log_dir, "log")))
+    assert any("loss/box" in e for e in log)
+    snaps = os.listdir(log_dir)
+    assert any(f.startswith("Localizer_") for f in snaps)
+    assert not any(f.startswith("ResnetAssessor_") for f in snaps)
