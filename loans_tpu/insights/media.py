@@ -61,7 +61,7 @@ def make_gif(
 
 
 def make_video(frame_dir: str, dest: str, fps: int = 24) -> str:
-    import imageio.v2 as imageio
+    import cv2
     import numpy as np
 
     frames = list_frames(frame_dir)
@@ -70,8 +70,13 @@ def make_video(frame_dir: str, dest: str, fps: int = 24) -> str:
     first = Image.open(frames[0])
     # even dimensions for codec compatibility
     size = (first.width // 2 * 2, first.height // 2 * 2)
-    with imageio.get_writer(dest, fps=fps) as writer:
+    writer = cv2.VideoWriter(
+        dest, cv2.VideoWriter_fourcc(*"mp4v"), fps, size
+    )
+    try:
         for path in frames:
             img = Image.open(path).convert("RGB").resize(size)
-            writer.append_data(np.asarray(img))
+            writer.write(np.asarray(img)[..., ::-1])  # RGB -> BGR
+    finally:
+        writer.release()
     return dest

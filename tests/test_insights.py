@@ -149,3 +149,18 @@ def test_make_gif(tmp_path):
     dest = make_gif(str(frames), str(tmp_path / "out.gif"), fps=5)
     gif = Image.open(dest)
     assert gif.n_frames == 3
+
+
+def test_make_video(tmp_path):
+    from loans_tpu.insights.media import make_video
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(5):
+        Image.new("RGB", (32, 32), (i * 40, 10, 10)).save(
+            frames / f"{i}.png"
+        )
+    dest = make_video(str(frames), str(tmp_path / "out.mp4"), fps=5)
+    import os
+
+    assert os.path.getsize(dest) > 500
