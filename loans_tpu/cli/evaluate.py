@@ -24,6 +24,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--iou-threshold", type=float, default=0.5)
     p.add_argument("--force-reset", action="store_true",
                    help="discard eval_results.json and re-evaluate all")
+    p.add_argument("--assessor", "-a", action="store_true",
+                   help="also score predicted crops with the assessor "
+                   "(reference evaluate.py:213-214)")
     p.add_argument("--save-predictions", default=None, metavar="DIR",
                    help="render per-sample predictions (+gt) to DIR/<iter>/")
     p.add_argument("--num-workers", type=int, default=None)
@@ -42,6 +45,7 @@ def main(argv=None):
         snapshot_prefix=args.snapshot_prefix,
         iou_threshold=args.iou_threshold,
         force_reset=args.force_reset,
+        use_assessor=args.assessor,
     )
     size = evaluator.image_size
     if _is_synthetic(args.gt):

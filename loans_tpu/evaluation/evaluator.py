@@ -65,12 +65,14 @@ class Evaluator:
         iou_threshold: float = 0.5,
         force_reset: bool = False,
         results_name: str = "eval_results.json",
+        use_assessor: bool = False,
     ):
         self.log_dir = log_dir
         manifest = checkpoint.load_manifest(log_dir)
         self.manifest = manifest
         loc_cfg = manifest["localizer"]
         self.is_ssd = loc_cfg["model"].upper().startswith("SSD")
+        self.ass_params = None
         self.localizer = build_model(loc_cfg["model"], **loc_cfg["kwargs"])
         if self.is_ssd:
             from loans_tpu.evaluation.ssd_eval import SSDEvaluator
@@ -86,8 +88,32 @@ class Evaluator:
             )[0] + "_"
         else:
             self.image_size = self.localizer.input_size
+            assessor = None
+            self.ass_params = None
+            if use_assessor and "assessor" in manifest:
+                import jax.numpy as jnp
+
+                a_cfg = manifest["assessor"]
+                assessor = build_model(a_cfg["model"], **a_cfg["kwargs"])
+                names = manifest.get("snapshot_names", [])
+                prefix = (names[-1] if len(names) > 1 else "ResnetAssessor")
+                snaps = checkpoint.list_snapshots(log_dir, prefix + "_")
+                if snaps:
+                    out_size = self.localizer.out_size
+                    a_vars = assessor.init(
+                        jax.random.key(0),
+                        jnp.zeros(
+                            (1, out_size.height, out_size.width, 3)
+                        ),
+                    )
+                    self.ass_params, _ = checkpoint.restore_params(
+                        snaps[-1][1], dict(a_vars["params"])
+                    )
+                else:
+                    assessor = None
             self.map_eval = MAPEvaluator(
-                self.localizer, self.image_size, iou_thresh=iou_threshold
+                self.localizer, self.image_size, iou_thresh=iou_threshold,
+                assessor=assessor,
             )
             default_prefix = None
         self.snapshot_prefix = (
@@ -134,7 +160,15 @@ class Evaluator:
                 snap_state = state.replace(
                     params=params, batch_stats=stats
                 )
-                metrics = self.map_eval(snap_state, batches_factory())
+                metrics = (
+                    self.map_eval(
+                        snap_state,
+                        batches_factory(),
+                        ass_params=self.ass_params,
+                    )
+                    if not self.is_ssd
+                    else self.map_eval(snap_state, batches_factory())
+                )
                 entry = {
                     "snapshot_name": name,
                     "iteration": iteration,

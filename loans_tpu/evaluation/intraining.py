@@ -34,6 +34,7 @@ class MAPEvaluator:
         image_size: Size,
         iou_thresh: float = 0.5,
         max_batches: int | None = None,
+        assessor=None,
     ):
         self.image_size = image_size
         self.iou_thresh = iou_thresh
@@ -44,20 +45,51 @@ class MAPEvaluator:
                 theta_corners(theta), image_size, clip=True
             )
         )
+        self._scored_step = None
+        if assessor is not None:
+            # optional crop scoring (``evaluate.py:213-214``)
+            from loans_tpu.train.steps import to_float01
 
-    def __call__(self, loc_state, batches: Iterable) -> dict:
+            def scored(loc_state, ass_params, images):
+                images = to_float01(images)
+                rois, theta = localizer.apply(
+                    {
+                        "params": loc_state.params,
+                        "batch_stats": loc_state.batch_stats,
+                    },
+                    images,
+                    train=False,
+                )
+                score = assessor.apply({"params": ass_params}, rois)
+                return theta, score[:, 0]
+
+            self._scored_step = jax.jit(scored)
+
+    def __call__(
+        self, loc_state, batches: Iterable, ass_params=None
+    ) -> dict:
         """``batches`` yields (images (N,H,W,3), gt_bboxes (N,R,4), ...).
 
         gt boxes are (y_min, x_min, y_max, x_max) pixels; rows of all
-        zeros are padding.
+        zeros are padding. With ``ass_params`` set (and the evaluator
+        built with an assessor), crops are also scored.
         """
         acc = AccuracyAccumulator(self.iou_thresh)
         pred_bb, pred_lb, pred_sc, gt_bb, gt_lb = [], [], [], [], []
+        crop_scores = []
         for i, batch in enumerate(batches):
             if self.max_batches is not None and i >= self.max_batches:
                 break
             images, gt = batch[0], batch[1]
-            theta = self._eval_step(loc_state, images)
+            if self._scored_step is not None and ass_params is not None:
+                theta, scores = self._scored_step(
+                    loc_state, ass_params, images
+                )
+                crop_scores.extend(
+                    np.asarray(jax.device_get(scores)).tolist()
+                )
+            else:
+                theta = self._eval_step(loc_state, images)
             boxes = np.asarray(jax.device_get(self._boxes(theta)))
             gt = np.asarray(gt)
             for n in range(boxes.shape[0]):
@@ -76,8 +108,11 @@ class MAPEvaluator:
             iou_thresh=self.iou_thresh,
         )
         out = acc.summary()
-        return {
+        result = {
             "mean_iou": out["mean_iou"],
             "map": voc["map"],
             "ap/object": float(voc["ap"][0]) if len(voc["ap"]) else 0.0,
         }
+        if crop_scores:
+            result["mean_assessor_score"] = float(np.mean(crop_scores))
+        return result

@@ -134,3 +134,15 @@ def test_supervised_train_cli(tmp_path):
     snaps = os.listdir(log_dir)
     assert any(f.startswith("Localizer_") for f in snaps)
     assert not any(f.startswith("ResnetAssessor_") for f in snaps)
+
+
+def test_evaluate_cli_with_assessor(trained_log_dir):
+    from loans_tpu.cli.evaluate import main
+
+    results = main(
+        ["synthetic:8", trained_log_dir, "--batch-size", "4",
+         "--assessor", "--force-reset"]
+    )
+    assert any("mean_assessor_score" in e for e in results.entries)
+    score = results.entries[0]["mean_assessor_score"]
+    assert 0.0 <= score <= 1.0
