@@ -29,6 +29,8 @@ def get_parser() -> argparse.ArgumentParser:
                    "(reference evaluate.py:213-214)")
     p.add_argument("--save-predictions", default=None, metavar="DIR",
                    help="render per-sample predictions (+gt) to DIR/<iter>/")
+    p.add_argument("--deteval", default=None, metavar="DIR",
+                   help="write deteval XML per snapshot to DIR")
     p.add_argument("--num-workers", type=int, default=None)
     return p
 
@@ -66,7 +68,9 @@ def main(argv=None):
         )
 
     evaluator.sweep(
-        batches_factory, save_predictions=args.save_predictions
+        batches_factory,
+        save_predictions=args.save_predictions,
+        deteval_dir=args.deteval,
     )
     evaluator.plot()
     return evaluator.results

@@ -140,11 +140,18 @@ class Evaluator:
             train=False,
         )
 
-    def sweep(self, batches_factory, save_predictions: str | None = None):
+    def sweep(
+        self,
+        batches_factory,
+        save_predictions: str | None = None,
+        deteval_dir: str | None = None,
+    ):
         """Evaluate every un-scored snapshot.
 
         ``batches_factory()`` returns a fresh iterable of
-        (images, gt_bboxes, ...) batches per snapshot.
+        (images, gt_bboxes, ...) batches per snapshot. With
+        ``deteval_dir``, a deteval XML of the predictions is written per
+        snapshot (``evaluate.py:148-168``).
         """
         state = self._init_state()
         done = self.results.evaluated_snapshots()
@@ -189,10 +196,33 @@ class Evaluator:
                         snap_state, batches_factory(), iteration,
                         save_predictions,
                     )
+                if deteval_dir and not self.is_ssd:
+                    self._write_deteval(
+                        snap_state, batches_factory(), iteration,
+                        deteval_dir,
+                    )
             except Exception:
                 print(f"evaluation of {name} failed:")
                 traceback.print_exc()
         return self.results
+
+    def _write_deteval(
+        self, state, batches: Iterable, iteration: int, out_dir: str
+    ):
+        from loans_tpu.evaluation.deteval import DetEvalWriter
+
+        writer = DetEvalWriter()
+        idx = 0
+        for batch in batches:
+            theta = self.map_eval._eval_step(state, batch[0])
+            boxes = np.asarray(
+                jax.device_get(self.map_eval._boxes(theta))
+            )
+            for n in range(boxes.shape[0]):
+                writer.add_image(f"{idx}.png", boxes[n : n + 1])
+                idx += 1
+        os.makedirs(out_dir, exist_ok=True)
+        writer.write(os.path.join(out_dir, f"deteval_{iteration}.xml"))
 
     def _render_predictions(
         self, state, batches: Iterable, iteration: int, out_dir: str,
