@@ -35,6 +35,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-interval", type=int, default=1000)
     p.add_argument("--eval-batches", type=int, default=8)
     p.add_argument("--resume", default=None)
+    p.add_argument("--pretrained-model", default=None,
+                   help="backbone weights (tools/import_vgg16.py output); "
+                   "heads keep their fresh init")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--plot-interval", type=int, default=0,
@@ -212,6 +215,11 @@ def main(argv=None):
         ssd_optimizer(args.learning_rate),
         train=False,
     )
+    if args.pretrained_model:
+        params, _ = checkpoint.restore_params(
+            args.pretrained_model, state.params
+        )
+        state = state.replace(params=params)
     state = replicate(mesh, state)
 
     loader = DataLoader(
