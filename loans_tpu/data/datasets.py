@@ -193,7 +193,9 @@ class LabeledImageDataset:
         label_dtype=np.float32,
         return_dummy_scores: bool = True,
         seed: int = 0,
+        output_dtype: str = "float32",
     ):
+        self.output_dtype = output_dtype
         if isinstance(pairs, str):
             if pairs.endswith(".json"):
                 pairs = read_bbox_json(pairs)
@@ -257,7 +259,10 @@ class LabeledImageDataset:
                 label = resize_bbox(label, in_size, self.image_size)
             img = resize_image(img, self.image_size, self.image_mode)
 
-        img = np.ascontiguousarray(img, dtype=np.float32) / 255.0
+        if self.output_dtype == "uint8":
+            img = np.ascontiguousarray(np.clip(img, 0, 255), dtype=np.uint8)
+        else:
+            img = np.ascontiguousarray(img, dtype=np.float32) / 255.0
         label = label.astype(self.label_dtype)
         if self.return_dummy_scores:
             return img, label, np.zeros((1,), dtype=np.float32)
