@@ -41,11 +41,17 @@ def _to_state_dict(state) -> dict[str, Any]:
 
 
 def save_state(path: str, state) -> str:
-    """Serialize a TrainState (minus the static tx) to ``path``."""
+    """Serialize a TrainState (minus the static tx) to ``path``.
+
+    Atomic (tmp + rename): a run killed mid-write — e.g. by the
+    training supervisor — never leaves a truncated snapshot behind.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = jax.device_get(_to_state_dict(state))
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
     return path
 
 
@@ -62,8 +68,10 @@ def save_params(path: str, params, batch_stats=None) -> str:
     payload = jax.device_get(
         {"params": params, "batch_stats": batch_stats or {}}
     )
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
     return path
 
 
