@@ -82,6 +82,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="bounded in-training eval (FastEvaluator parity)")
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dump-graph", action="store_true",
+                   help="write the lowered train-step StableHLO to "
+                   "<log_dir>/train_step.hlo.txt (the reference dumps "
+                   "model.dot, train_sheep_localizer.py:248)")
     p.add_argument("--profile", type=int, nargs=2, default=None,
                    metavar=("START", "STEPS"),
                    help="capture a JAX profiler trace for STEPS "
@@ -363,6 +367,31 @@ def main(argv=None):
         keep_snapshots=args.keep_snapshots,
     )
     trainer.resume(args.resume_localizer, args.resume_discriminator)
+    if args.dump_graph:
+        sds = lambda shape, dt=jnp.float32: jax.ShapeDtypeStruct(shape, dt)
+        if args.supervised:
+            sample = (
+                sds((args.batch_size, img.height, img.width, 3)),
+                sds((args.batch_size, 1, 4)),
+                sds((args.batch_size, 1)),
+            )
+        else:
+            sample = {
+                "real": sds(
+                    (args.batch_size, crop.height, crop.width, 3)
+                ),
+                "labels": sds((args.batch_size, 1)),
+                "unlabeled": sds(
+                    (args.batch_size, img.height, img.width, 3)
+                ),
+            }
+        rng_sds = jax.eval_shape(lambda: jax.random.key(0))
+        lowered = step.lower(
+            trainer.loc_state, trainer.ass_state, sample, rng_sds
+        )
+        with open(os.path.join(log_dir, "train_step.hlo.txt"), "w") as f:
+            f.write(lowered.as_text())
+        print(f"wrote {log_dir}/train_step.hlo.txt")
     print(f"training in {log_dir} on {n_dev} device(s)")
     trainer.run()
     print(f"done at iteration {trainer.iteration}; log dir: {log_dir}")
