@@ -109,6 +109,7 @@ class Evaluator:
                     self.ass_params, _ = checkpoint.restore_params(
                         snaps[-1][1], dict(a_vars["params"])
                     )
+                    self.ass_params = jax.device_put(self.ass_params)
                 else:
                     assessor = None
             self.map_eval = MAPEvaluator(
@@ -164,6 +165,9 @@ class Evaluator:
                 params, stats = checkpoint.restore_params(
                     path, state.params, state.batch_stats
                 )
+                # upload once per snapshot (numpy leaves re-transfer on
+                # every jitted call otherwise)
+                params, stats = jax.device_put((params, stats))
                 snap_state = state.replace(
                     params=params, batch_stats=stats
                 )

@@ -110,7 +110,9 @@ class LocalizerInference:
                     a_snaps[-1][1], a_params
                 )
             out["ass"] = {"params": a_params}
-        return out
+        # restored leaves are host numpy; upload ONCE — otherwise every
+        # jitted call re-transfers the full weight set
+        return jax.device_put(out)
 
     # -- jitted forward ---------------------------------------------------
     def _predict_impl(self, variables, images):

@@ -69,6 +69,8 @@ class SSDInference:
         params, stats = checkpoint.restore_params(
             snapshot, state.params, state.batch_stats
         )
+        # upload once; numpy leaves would re-transfer on every call
+        params, stats = jax.device_put((params, stats))
         return state.replace(params=params, batch_stats=stats)
 
     # -- public surface ----------------------------------------------------
