@@ -82,6 +82,15 @@ def get_parser() -> argparse.ArgumentParser:
                    help="bounded in-training eval (FastEvaluator parity)")
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr-shift", type=float, nargs=4, default=None,
+                   metavar=("START_LR", "TARGET_LR", "START_IT", "END_IT"),
+                   help="piecewise-linear LR schedule "
+                   "(TwoStateLearningRateShifter, "
+                   "train_utils/train_utils.py:32-82)")
+    p.add_argument("--lr-decay", type=float, nargs=2, default=None,
+                   metavar=("FACTOR", "EVERY"),
+                   help="multiply LR by FACTOR every EVERY iterations "
+                   "(AttributeUpdater, train_utils/train_utils.py:17-29)")
     p.add_argument("--dump-graph", action="store_true",
                    help="write the lowered train-step StableHLO to "
                    "<log_dir>/train_step.hlo.txt (the reference dumps "
@@ -350,6 +359,20 @@ def main(argv=None):
         ass_state = None
     else:
         step = make_train_step(localizer, assessor, step_config)
+    lr_schedule = None
+    if args.lr_shift:
+        from loans_tpu.train import two_state_lr_shifter
+
+        lr_schedule = two_state_lr_shifter(
+            args.lr_shift[0], args.lr_shift[1],
+            int(args.lr_shift[2]), int(args.lr_shift[3]),
+        )
+    elif args.lr_decay:
+        from loans_tpu.train import multiplicative_lr_decay
+
+        lr_schedule = multiplicative_lr_decay(
+            args.lr_decay[0], int(args.lr_decay[1]), args.learning_rate
+        )
     trainer = Trainer(
         step,
         replicate(mesh, loc_state),
@@ -362,6 +385,7 @@ def main(argv=None):
         snapshot_interval=args.snapshot_interval,
         log_interval=args.log_interval,
         eval_fn=eval_fn,
+        lr_schedule=lr_schedule,
         hooks=hooks,
         control=CommandChannel(log_dir, use_stdin=args.interactive),
         keep_snapshots=args.keep_snapshots,

@@ -146,3 +146,28 @@ def test_evaluate_cli_with_assessor(trained_log_dir):
     assert any("mean_assessor_score" in e for e in results.entries)
     score = results.entries[0]["mean_assessor_score"]
     assert 0.0 <= score <= 1.0
+
+
+def test_train_cli_lr_schedule(tmp_path):
+    """--lr-shift drives the runtime LR without recompilation."""
+    from loans_tpu.cli.train_localizer import main
+
+    log_dir = main(
+        [
+            "synthetic:8", "synthetic:8", "synthetic:4",
+            "--batch-size", "8",
+            "--target-size", "32", "32",
+            "--crop-size", "8", "8",
+            "--n-layers", "18",
+            "--iterations", "4",
+            "--log-dir", str(tmp_path),
+            "--log-interval", "2",
+            "--snapshot-interval", "0",
+            "--eval-batches", "0",
+            "--lr-shift", "1e-3", "1e-5", "0", "4",
+        ]
+    )
+    log = json.load(open(os.path.join(log_dir, "log")))
+    lrs = [e["lr"] for e in log if "lr" in e]
+    assert lrs[-1] < lrs[0]  # decayed toward target
+    assert abs(lrs[-1] - 1e-5) < 1e-6
