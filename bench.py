@@ -2,6 +2,13 @@
 operating point (BASELINE.md): ResNet-50 localizer, 224x224 inputs,
 75x75 crops, batch 64, Adam(amsgrad).
 
+Measures the production training path: the dataset resident in HBM
+(``data/device_data``) and ``steps_per_call`` iterations scanned inside
+one jitted dispatch with on-device batch gathers
+(``train/steps.py::make_pooled_train_step``) — host traffic per chunk is
+one int32 index array, exactly how ``loans_tpu.cli.train_localizer``
+trains on synthetic data.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.json "published": {});
@@ -21,19 +28,24 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5 * 80.0  # north-star: 5x estimated Chainer ref
 BATCH = 64
-WARMUP = 3
-ITERS = 20
+STEPS_PER_CALL = 10
+WARMUP_CALLS = 2
+CALLS = 10  # = CALLS * STEPS_PER_CALL train iterations timed
+POOL_SCENES = 512
+POOL_CROPS = 1024
 
 
 def main():
     from loans_tpu.models import Localizer, ResnetAssessor
     from loans_tpu.ops import Size
-    from loans_tpu.parallel import create_mesh, replicate, shard_batch
+    from loans_tpu.parallel import create_mesh, replicate
+    from loans_tpu.data.device_data import device_chunk_batches
     from loans_tpu.train import (
         AlternatingConfig,
         adam_amsgrad,
+        alternating_step_body,
         create_train_state,
-        make_train_step,
+        make_pooled_train_step,
     )
 
     img, crop = Size(224, 224), Size(75, 75)
@@ -60,32 +72,50 @@ def main():
     mesh = create_mesh()
     loc_state = replicate(mesh, loc_state)
     ass_state = replicate(mesh, ass_state)
-    gen = np.random.default_rng(0)
-    host_batch = {
-        "real": gen.uniform(size=(BATCH, crop.height, crop.width, 3)).astype(
-            np.float32
-        ),
-        "labels": gen.uniform(size=(BATCH, 1)).astype(np.float32),
-        "unlabeled": gen.uniform(
-            size=(BATCH, img.height, img.width, 3)
-        ).astype(np.float32),
-    }
-    batch = shard_batch(mesh, host_batch)
 
-    step = make_train_step(localizer, assessor, AlternatingConfig(image_size=img))
+    gen = np.random.default_rng(0)
+    groups = {
+        "unlabeled": {
+            "unlabeled": gen.integers(
+                0, 256, size=(POOL_SCENES, img.height, img.width, 3),
+                dtype=np.uint8,
+            )
+        },
+        "reference": {
+            "real": gen.integers(
+                0, 256, size=(POOL_CROPS, crop.height, crop.width, 3),
+                dtype=np.uint8,
+            ),
+            "labels": gen.uniform(size=(POOL_CROPS, 1)).astype(np.float32),
+        },
+    }
+    chunks = device_chunk_batches(
+        mesh, groups, BATCH, STEPS_PER_CALL, seed=0
+    )
+
+    step = make_pooled_train_step(
+        alternating_step_body(
+            localizer, assessor, AlternatingConfig(image_size=img)
+        ),
+        STEPS_PER_CALL,
+    )
     key = jax.random.key(1)
-    for _ in range(WARMUP):
-        loc_state, ass_state, metrics = step(loc_state, ass_state, batch, key)
+    for _ in range(WARMUP_CALLS):
+        loc_state, ass_state, metrics = step(
+            loc_state, ass_state, next(chunks), key
+        )
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        loc_state, ass_state, metrics = step(loc_state, ass_state, batch, key)
+    for _ in range(CALLS):
+        loc_state, ass_state, metrics = step(
+            loc_state, ass_state, next(chunks), key
+        )
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
     n_dev = len(jax.devices())
-    images_per_sec = BATCH * ITERS / dt
+    images_per_sec = BATCH * STEPS_PER_CALL * CALLS / dt
     per_chip = images_per_sec / n_dev
     print(
         json.dumps(

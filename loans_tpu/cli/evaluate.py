@@ -32,6 +32,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--deteval", default=None, metavar="DIR",
                    help="write deteval XML per snapshot to DIR")
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--bn-warmup", type=int, default=0, metavar="N",
+                   help="re-estimate BatchNorm running stats from N "
+                   "train-mode batches before scoring each snapshot "
+                   "(rescues short runs with unwarmed stats)")
+    p.add_argument("--seed", type=int, default=2,
+                   help="seed for 'synthetic:N' gt (default 2 = the "
+                   "train CLI's val split, seed+2 with seed 0)")
     return p
 
 
@@ -54,6 +61,7 @@ def main(argv=None):
         ds = SyntheticLocalizerDataset(
             _synthetic_n(args.gt, 64),
             image_size=tuple(size),
+            seed=args.seed,
             labeled=True,
         )
     else:
@@ -71,6 +79,7 @@ def main(argv=None):
         batches_factory,
         save_predictions=args.save_predictions,
         deteval_dir=args.deteval,
+        bn_warmup=args.bn_warmup,
     )
     evaluator.plot()
     return evaluator.results

@@ -81,6 +81,16 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-batches", type=int, default=8,
                    help="bounded in-training eval (FastEvaluator parity)")
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--device-data", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="keep the whole dataset in HBM and gather batches "
+                   "on-device by index (one int32-index transfer per step "
+                   "instead of an image batch). 'auto' enables it for "
+                   "in-memory synthetic datasets")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="train iterations scanned inside one jitted call "
+                   "(device-data only; amortizes host dispatch). "
+                   "0 = auto (8 with device data, else 1)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr-shift", type=float, nargs=4, default=None,
                    metavar=("START_LR", "TARGET_LR", "START_IT", "END_IT"),
@@ -255,11 +265,6 @@ def main(argv=None):
         ref_ds = None
     else:
         train_ds, ref_ds, val_ds = build_datasets(args)
-    loader_kw = dict(
-        repeat=True, num_workers=args.num_workers, seed=args.seed
-    )
-    train_loader = DataLoader(train_ds, args.batch_size, **loader_kw)
-
     mesh = create_mesh()
     n_dev = mesh.devices.size
     if args.batch_size % n_dev:
@@ -268,42 +273,86 @@ def main(argv=None):
             f"{n_dev} devices"
         )
 
-    if args.supervised:
-        batches = lambda: iter(train_loader)  # (img, bbox, score) tuples
-    else:
-        ref_loader = DataLoader(ref_ds, args.batch_size, **loader_kw)
-
-        def batches():
-            for unlabeled, ref in zip(
-                iter(train_loader), iter(ref_loader)
-            ):
-                real, labels = ref[0], ref[1]
-                if isinstance(unlabeled, tuple):
-                    unlabeled = unlabeled[0]
-                yield {
-                    "real": real,
-                    "labels": labels,
-                    "unlabeled": unlabeled,
-                }
-
-    device_batches = device_prefetch(
-        batches(), lambda b: shard_batch(mesh, b)
+    all_synthetic = _is_synthetic(args.train_file) and _is_synthetic(
+        args.val_file
+    ) and (args.supervised or _is_synthetic(args.reference_file))
+    use_device_data = args.device_data == "on" or (
+        args.device_data == "auto" and all_synthetic
     )
+
+    steps_per_call = args.steps_per_call or (8 if use_device_data else 1)
+    if not use_device_data:
+        steps_per_call = 1
+    if use_device_data:
+        from loans_tpu.data.device_data import (
+            device_chunk_batches,
+            materialize,
+        )
+
+        if args.supervised:
+            groups = {"train": materialize(train_ds)}
+        else:
+            imgs = materialize(train_ds)[0]
+            crops, labels = materialize(ref_ds)[:2]
+            groups = {
+                "unlabeled": {"unlabeled": imgs},
+                "reference": {"real": crops, "labels": labels},
+            }
+        device_batches = device_chunk_batches(
+            mesh, groups, args.batch_size, steps_per_call, seed=args.seed
+        )
+    else:
+        loader_kw = dict(
+            repeat=True, num_workers=args.num_workers, seed=args.seed
+        )
+        train_loader = DataLoader(train_ds, args.batch_size, **loader_kw)
+        if args.supervised:
+            batches = lambda: iter(train_loader)  # (img, bbox, score)
+        else:
+            ref_loader = DataLoader(ref_ds, args.batch_size, **loader_kw)
+
+            def batches():
+                for unlabeled, ref in zip(
+                    iter(train_loader), iter(ref_loader)
+                ):
+                    real, labels = ref[0], ref[1]
+                    if isinstance(unlabeled, tuple):
+                        unlabeled = unlabeled[0]
+                    yield {
+                        "real": real,
+                        "labels": labels,
+                        "unlabeled": unlabeled,
+                    }
+
+        device_batches = device_prefetch(
+            batches(), lambda b: shard_batch(mesh, b)
+        )
 
     # -- eval --------------------------------------------------------------
     from loans_tpu.data import padded_collate
 
-    val_loader = DataLoader(
-        val_ds, max(args.batch_size // 2, 1), shuffle=False,
-        drop_last=True, num_workers=args.num_workers,
-        collate=padded_collate,
-    )
+    eval_batch_size = max(args.batch_size // 2, 1)
     map_eval = MAPEvaluator(
         localizer, img, max_batches=args.eval_batches
     )
+    if use_device_data:
+        from loans_tpu.data.device_data import device_eval_batches
 
-    def eval_fn(trainer, iteration):
-        return map_eval(trainer.loc_state, iter(val_loader))
+        val_batches = device_eval_batches(mesh, val_ds, eval_batch_size)
+        if args.eval_batches:
+            val_batches = val_batches[: args.eval_batches]
+
+        def eval_fn(trainer, iteration):
+            return map_eval(trainer.loc_state, iter(val_batches))
+    else:
+        val_loader = DataLoader(
+            val_ds, eval_batch_size, shuffle=False,
+            drop_last=True, num_workers=args.num_workers,
+            collate=padded_collate,
+        )
+
+        def eval_fn(trainer, iteration):
+            return map_eval(trainer.loc_state, iter(val_loader))
 
     # -- hooks -------------------------------------------------------------
     hooks = []
@@ -353,12 +402,33 @@ def main(argv=None):
         image_size=img,
     )
     if args.supervised:
-        from loans_tpu.train import make_supervised_train_step
+        from loans_tpu.train import (
+            make_pooled_train_step,
+            make_supervised_train_step,
+            supervised_step_body,
+        )
 
-        step = make_supervised_train_step(localizer, step_config)
+        if use_device_data:
+            step = make_pooled_train_step(
+                supervised_step_body(localizer, step_config),
+                steps_per_call,
+            )
+        else:
+            step = make_supervised_train_step(localizer, step_config)
         ass_state = None
     else:
-        step = make_train_step(localizer, assessor, step_config)
+        if use_device_data:
+            from loans_tpu.train import (
+                alternating_step_body,
+                make_pooled_train_step,
+            )
+
+            step = make_pooled_train_step(
+                alternating_step_body(localizer, assessor, step_config),
+                steps_per_call,
+            )
+        else:
+            step = make_train_step(localizer, assessor, step_config)
     lr_schedule = None
     if args.lr_shift:
         from loans_tpu.train import two_state_lr_shifter
@@ -389,6 +459,7 @@ def main(argv=None):
         hooks=hooks,
         control=CommandChannel(log_dir, use_stdin=args.interactive),
         keep_snapshots=args.keep_snapshots,
+        steps_per_call=steps_per_call,
     )
     trainer.resume(args.resume_localizer, args.resume_discriminator)
     if args.dump_graph:
@@ -410,7 +481,19 @@ def main(argv=None):
                 ),
             }
         rng_sds = jax.eval_shape(lambda: jax.random.key(0))
-        lowered = step.lower(
+        if use_device_data:
+            # lower the plain per-iteration step (the scanned/pooled
+            # variant wraps the same body; the HLO of one iteration is
+            # what model.dot documented in the reference)
+            if args.supervised:
+                from loans_tpu.train import make_supervised_train_step
+
+                plain = make_supervised_train_step(localizer, step_config)
+            else:
+                plain = make_train_step(localizer, assessor, step_config)
+        else:
+            plain = step
+        lowered = plain.lower(
             trainer.loc_state, trainer.ass_state, sample, rng_sds
         )
         with open(os.path.join(log_dir, "train_step.hlo.txt"), "w") as f:

@@ -12,6 +12,13 @@ from loans_tpu.data.datasets import (
     resize_bbox,
     resize_image,
 )
+from loans_tpu.data.device_data import (
+    DevicePool,
+    device_chunk_batches,
+    device_eval_batches,
+    materialize,
+    pool_nbytes,
+)
 from loans_tpu.data.loader import (
     DataLoader,
     default_collate,
@@ -35,6 +42,11 @@ __all__ = [
     "read_path_list",
     "resize_bbox",
     "resize_image",
+    "DevicePool",
+    "device_chunk_batches",
+    "device_eval_batches",
+    "materialize",
+    "pool_nbytes",
     "DataLoader",
     "default_collate",
     "device_prefetch",

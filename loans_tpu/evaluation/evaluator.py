@@ -141,18 +141,54 @@ class Evaluator:
             train=False,
         )
 
+    def _bn_warmup(self, snap_state, batches_factory, n_batches: int):
+        """Refresh BatchNorm running statistics with ``n_batches``
+        train-mode forwards before eval-mode scoring.
+
+        Short runs snapshot models whose running stats lag the weights
+        (chainer BN decay 0.9 equivalent); eval-mode predictions then
+        read as near-zero IoU/mAP. This pass re-estimates the stats
+        from data without touching the weights."""
+        if self.is_ssd or n_batches <= 0:
+            return snap_state
+
+        if not hasattr(self, "_warmup_step"):
+            from loans_tpu.train.steps import to_float01
+
+            def warm(params, stats, images):
+                _, updates = self.localizer.apply(
+                    {"params": params, "batch_stats": stats},
+                    to_float01(images),
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"rotation_dropout": jax.random.key(0)},
+                )
+                return updates["batch_stats"]
+
+            self._warmup_step = jax.jit(warm, donate_argnums=(1,))
+
+        stats = snap_state.batch_stats
+        for i, batch in enumerate(batches_factory()):
+            if i >= n_batches:
+                break
+            stats = self._warmup_step(snap_state.params, stats, batch[0])
+        return snap_state.replace(batch_stats=stats)
+
     def sweep(
         self,
         batches_factory,
         save_predictions: str | None = None,
         deteval_dir: str | None = None,
+        bn_warmup: int = 0,
     ):
         """Evaluate every un-scored snapshot.
 
         ``batches_factory()`` returns a fresh iterable of
         (images, gt_bboxes, ...) batches per snapshot. With
         ``deteval_dir``, a deteval XML of the predictions is written per
-        snapshot (``evaluate.py:148-168``).
+        snapshot (``evaluate.py:148-168``). ``bn_warmup`` re-estimates
+        BatchNorm running stats from that many train-mode batches before
+        scoring each snapshot.
         """
         state = self._init_state()
         done = self.results.evaluated_snapshots()
@@ -170,6 +206,9 @@ class Evaluator:
                 params, stats = jax.device_put((params, stats))
                 snap_state = state.replace(
                     params=params, batch_stats=stats
+                )
+                snap_state = self._bn_warmup(
+                    snap_state, batches_factory, bn_warmup
                 )
                 metrics = (
                     self.map_eval(

@@ -22,19 +22,28 @@ def initialize_distributed(
     """Initialize ``jax.distributed`` (no-op in single-process runs).
 
     With no arguments, relies on the cluster environment
-    (TPU pod metadata / JAX_COORDINATOR_ADDRESS etc.).
+    (TPU pod metadata / JAX_COORDINATOR_ADDRESS etc.). Must run before
+    any JAX computation touches a backend — do NOT probe
+    ``jax.process_count()``/``jax.devices()`` first, that initializes
+    the local backend and makes distributed init impossible.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / no cluster env: fine, stay local
-        pass
+    except RuntimeError as e:
+        # idempotent: fine if the runtime is already up
+        if "already" in str(e).lower():
+            return
+        if explicit:
+            raise
+    except ValueError:
+        # no cluster environment to auto-detect: stay single-process
+        if explicit:
+            raise
 
 
 def local_batch_slice(global_batch: int) -> tuple[int, int]:

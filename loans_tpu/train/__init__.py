@@ -8,10 +8,13 @@ from loans_tpu.train.state import (
 )
 from loans_tpu.train.steps import (
     AlternatingConfig,
+    alternating_step_body,
     make_eval_step,
+    make_pooled_train_step,
     make_supervised_train_step,
     make_train_step,
     mse,
+    supervised_step_body,
     to_float01,
 )
 from loans_tpu.train.checkpoint import (
@@ -38,7 +41,10 @@ __all__ = [
     "adam_amsgrad",
     "create_train_state",
     "AlternatingConfig",
+    "alternating_step_body",
     "make_eval_step",
+    "make_pooled_train_step",
+    "supervised_step_body",
     "make_supervised_train_step",
     "make_train_step",
     "mse",

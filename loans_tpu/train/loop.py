@@ -41,6 +41,14 @@ class Hook:
             return self.at_zero
         return self.every > 0 and iteration % self.every == 0
 
+    def due_span(self, prev: int, iteration: int) -> bool:
+        """Due if any multiple of ``every`` falls in (prev, iteration] —
+        interval semantics that stay correct when the trainer advances
+        multiple iterations per step call (scanned steps)."""
+        if self.every <= 0:
+            return False
+        return iteration // self.every > prev // self.every
+
 
 class Trainer:
     """Alternating-update training harness.
@@ -74,6 +82,7 @@ class Trainer:
         snapshot_names: tuple[str, str] = ("Localizer", "ResnetAssessor"),
         keep_snapshots: int = 0,
         print_report: bool = True,
+        steps_per_call: int = 1,
     ):
         self.step_fn = step_fn
         self.loc_state = loc_state
@@ -91,6 +100,8 @@ class Trainer:
         self.snapshot_names = snapshot_names
         self.keep_snapshots = keep_snapshots
         self.print_report = print_report
+        self.steps_per_call = steps_per_call
+        self._last_lr_set: float | None = None
         self.log = MetricsLog(log_dir, config=config)
         self.iteration = int(loc_state.step)
         self.bbox_vis_enabled = True
@@ -131,31 +142,34 @@ class Trainer:
             if batch is None:
                 break
             self.rng, step_rng = jax.random.split(self.rng)
+            prev = self.iteration
             self.loc_state, self.ass_state, metrics = self.step_fn(
                 self.loc_state, self.ass_state, batch, step_rng
             )
-            self.iteration += 1
+            self.iteration += self.steps_per_call
             self._pending_metrics.append(metrics)
             self._images_in_interval += _batch_size(batch)
 
             if self.lr_schedule is not None:
                 lr = self.lr_schedule(self.iteration)
-                if lr is not None:
+                if lr is not None and lr != self._last_lr_set:
+                    self._last_lr_set = lr
                     self.loc_state = self.loc_state.with_learning_rate(lr)
                     if self.ass_state is not None:
                         self.ass_state = (
                             self.ass_state.with_learning_rate(lr)
                         )
 
-            if self.log_interval and self.iteration % self.log_interval == 0:
+            if self.log_interval and _crossed(
+                prev, self.iteration, self.log_interval
+            ):
                 self._flush_log()
-            if (
-                self.snapshot_interval
-                and self.iteration % self.snapshot_interval == 0
+            if self.snapshot_interval and _crossed(
+                prev, self.iteration, self.snapshot_interval
             ):
                 self.save_snapshot()
             for hook in self.hooks:
-                if hook.due(self.iteration):
+                if hook.due_span(prev, self.iteration):
                     hook.fn(self, self.iteration)
             if self.control is not None:
                 apply_commands(self.control.drain(), self)
@@ -225,7 +239,16 @@ class Trainer:
         return self
 
 
+def _crossed(prev: int, cur: int, every: int) -> bool:
+    """True when a multiple of ``every`` falls in (prev, cur]."""
+    return cur // every > prev // every
+
+
 def _batch_size(batch) -> int:
+    if isinstance(batch, dict) and "idx" in batch and "pools" in batch:
+        # pooled chunk: (steps_per_call, batch) index arrays
+        first = jax.tree_util.tree_leaves(batch["idx"])[0]
+        return int(np.prod(first.shape))
     leaves = jax.tree_util.tree_leaves(batch)
     return int(leaves[0].shape[0]) if leaves else 0
 
@@ -259,7 +282,7 @@ def multiplicative_lr_decay(
     (``train_utils/train_utils.py:17-29`` ``AttributeUpdater``)."""
 
     def schedule(iteration: int) -> float | None:
-        if every > 0 and iteration % every == 0:
+        if every > 0 and iteration // every > 0:
             return base_lr * (shift ** (iteration // every))
         return None
 

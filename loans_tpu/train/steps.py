@@ -67,6 +67,15 @@ def make_train_step(localizer, assessor, config: AlternatingConfig):
     where ``batch = {'real': (N,h,w,c), 'labels': (N,1), 'unlabeled':
     (N,H,W,3)}``. Donates both states.
     """
+    return jax.jit(
+        alternating_step_body(localizer, assessor, config),
+        donate_argnums=(0, 1),
+    )
+
+
+def alternating_step_body(localizer, assessor, config: AlternatingConfig):
+    """The unjitted alternating update (shared by the single-step and
+    scanned/pooled step builders)."""
 
     def train_step(
         loc_state: TrainState,
@@ -123,7 +132,67 @@ def make_train_step(localizer, assessor, config: AlternatingConfig):
         }
         return loc_state, ass_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    return train_step
+
+
+def make_pooled_train_step(body, steps_per_call: int):
+    """Scan ``steps_per_call`` train iterations inside ONE dispatch,
+    gathering every batch on-device from an HBM-resident dataset pool.
+
+    Round-1 profiling showed ~15% of wall time per step was host
+    dispatch through the device tunnel, and every step shipped a full
+    image batch host->device (``sheep_updater.py:32-38`` equivalent
+    copies). With the dataset resident in HBM (``data/device_data``)
+    the whole inner loop runs device-side: one jitted call executes K
+    steps, each gathering its batch by index with ``jnp.take``. Host
+    traffic per K steps = one (K, B) int32 index array.
+
+    Args:
+      body: unjitted ``(loc_state, ass_state, batch, rng) -> (loc_state,
+        ass_state, metrics)`` (``alternating_step_body`` or the
+        supervised equivalent; ``ass_state`` may be None).
+      steps_per_call: K, the scan length.
+
+    Returns a jitted ``(loc_state, ass_state, chunk, rng)`` where
+    ``chunk = {'pools': {group: pytree_of_(N,...)_arrays}, 'idx':
+    {group: (K, B) int32}}``; per-iteration batches are the union of the
+    per-group gathered pytrees (dicts merge; a single non-dict group
+    passes through). Metrics are averaged over the K steps.
+    """
+
+    def gather(tree, ind):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, ind, axis=0), tree
+        )
+
+    def pooled_step(loc_state, ass_state, chunk, rng):
+        pools, idx = chunk["pools"], chunk["idx"]
+        rngs = jax.random.split(rng, steps_per_call)
+
+        def scan_fn(carry, per_step):
+            loc, ass = carry
+            step_idx, step_rng = per_step
+            parts = [
+                gather(pools[g], step_idx[g]) for g in sorted(pools)
+            ]
+            if len(parts) == 1:
+                batch = parts[0]
+            else:
+                batch = {}
+                for p in parts:
+                    batch.update(p)
+            loc, ass, metrics = body(loc, ass, batch, step_rng)
+            return (loc, ass), metrics
+
+        (loc_state, ass_state), metrics = jax.lax.scan(
+            scan_fn, (loc_state, ass_state), (idx, rngs)
+        )
+        metrics = jax.tree_util.tree_map(
+            lambda m: jnp.mean(m, axis=0), metrics
+        )
+        return loc_state, ass_state, metrics
+
+    return jax.jit(pooled_step, donate_argnums=(0, 1))
 
 
 def make_eval_step(localizer, image_size: Size):
@@ -161,6 +230,13 @@ def make_supervised_train_step(localizer, config: AlternatingConfig):
     ``batch = (images (N,H,W,C), gt_boxes (N,1,4) yxyx pixels, ...)``.
     Trainer-shaped: ``(state, None, batch, rng) -> (state, None, metrics)``.
     """
+    return jax.jit(
+        supervised_step_body(localizer, config), donate_argnums=(0,)
+    )
+
+
+def supervised_step_body(localizer, config: AlternatingConfig):
+    """Unjitted supervised update (see ``make_supervised_train_step``)."""
     from loans_tpu.ops.geometry import corners_to_aabb
     from loans_tpu.ops.losses import huber_loss, smooth_iou_loss
 
@@ -201,4 +277,4 @@ def make_supervised_train_step(localizer, config: AlternatingConfig):
         }
         return state, None, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step

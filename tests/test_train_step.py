@@ -137,3 +137,129 @@ def test_learning_rate_runtime_shift():
     np.testing.assert_allclose(float(loc_state.learning_rate), 1e-3, rtol=1e-6)
     shifted = loc_state.with_learning_rate(float(loc_state.learning_rate) * 0.1)
     np.testing.assert_allclose(float(shifted.learning_rate), 1e-4, rtol=1e-6)
+
+
+def test_pooled_scan_data_path_exact():
+    """The on-device gather inside the scan delivers exactly the batches
+    the index streams name: a deterministic probe body records per-field
+    sums, compared against host gathers. Catches wrong indexing, group
+    merging, field pairing, and scan/batch-axis mixups bit-for-bit
+    (independent of optimizer fp chaos)."""
+    from loans_tpu.data.device_data import device_chunk_batches
+    from loans_tpu.train import make_pooled_train_step
+
+    K = 4
+
+    def probe_body(loc, ass, batch, rng):
+        metrics = {
+            "sum_unlabeled": jnp.sum(batch["unlabeled"]),
+            "sum_real": jnp.sum(batch["real"]),
+            "sum_labels": jnp.sum(batch["labels"]),
+            "rng_bit": jax.random.uniform(rng),
+        }
+        return loc + 1, ass, metrics
+
+    step = make_pooled_train_step(probe_body, K)
+    mesh = create_mesh()
+    gen = np.random.default_rng(0)
+    scenes = gen.uniform(size=(32, 4, 4, 3)).astype("f")
+    crops = gen.uniform(size=(48, 2, 2, 3)).astype("f")
+    labels = gen.uniform(size=(48, 1)).astype("f")
+    groups = {
+        "unlabeled": {"unlabeled": scenes},
+        "reference": {"real": crops, "labels": labels},
+    }
+    chunks = device_chunk_batches(mesh, groups, BATCH, K, seed=0)
+    chunk = next(chunks)
+    counter, _, metrics = step(jnp.zeros(()), None, chunk, jax.random.key(7))
+    assert int(counter) == K  # carry threads through all K steps
+
+    idx = {g: np.asarray(chunk["idx"][g]) for g in chunk["idx"]}
+    # epoch-permutation semantics: no repeats inside one epoch
+    # (pool of 32, batch 16 -> one epoch = the first 2 steps)
+    epoch = idx["unlabeled"][:2].ravel()
+    assert len(set(epoch.tolist())) == len(epoch)
+    exp_unlabeled = np.mean(
+        [scenes[idx["unlabeled"][t]].sum() for t in range(K)]
+    )
+    exp_real = np.mean([crops[idx["reference"][t]].sum() for t in range(K)])
+    exp_labels = np.mean(
+        [labels[idx["reference"][t]].sum() for t in range(K)]
+    )
+    np.testing.assert_allclose(
+        float(metrics["sum_unlabeled"]), exp_unlabeled, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["sum_real"]), exp_real, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["sum_labels"]), exp_labels, rtol=1e-5
+    )
+
+
+def test_pooled_scan_step_trains_real_models():
+    """Integration: K scanned alternating iterations on the real
+    localizer/assessor advance the states and track a plain-step replay.
+    (Exact trajectory equality across different XLA programs is not a
+    contract — Adam amplifies float32 reassociation noise — so the
+    comparison is loose; the data path is verified exactly in
+    ``test_pooled_scan_data_path_exact``.)"""
+    from loans_tpu.data.device_data import device_chunk_batches
+    from loans_tpu.train import alternating_step_body, make_pooled_train_step
+
+    localizer, assessor, loc_state, ass_state = build_states()
+    body = alternating_step_body(
+        localizer, assessor, AlternatingConfig(image_size=IMG)
+    )
+    K = 3
+    step = make_pooled_train_step(body, K)
+
+    mesh = create_mesh()
+    gen = np.random.default_rng(0)
+    scenes = gen.uniform(size=(32, IMG.height, IMG.width, 3)).astype("f")
+    crops = gen.uniform(size=(48, CROP.height, CROP.width, 3)).astype("f")
+    labels = gen.uniform(size=(48, 1)).astype("f")
+    groups = {
+        "unlabeled": {"unlabeled": scenes},
+        "reference": {"real": crops, "labels": labels},
+    }
+    chunks = device_chunk_batches(mesh, groups, BATCH, K, seed=0)
+    chunk = next(chunks)
+
+    rng = jax.random.key(7)
+    # real copies: the pooled step donates its input states
+    loc2, ass2 = jax.tree_util.tree_map(
+        lambda x: jnp.array(x), (loc_state, ass_state)
+    )
+    loc_p, ass_p, metrics = step(loc_state, ass_state, chunk, rng)
+    assert int(loc_p.step) == K
+    for k in ("loss_localizer", "loss_dis", "y_fake_mean"):
+        assert np.isfinite(float(metrics[k]))
+
+    # replay the same K batches through the single step
+    plain = jax.jit(body)
+    idx = {g: np.asarray(chunk["idx"][g]) for g in chunk["idx"]}
+    rngs = jax.random.split(rng, K)
+    for t in range(K):
+        b = {
+            "unlabeled": scenes[idx["unlabeled"][t]],
+            "real": crops[idx["reference"][t]],
+            "labels": labels[idx["reference"][t]],
+        }
+        loc2, ass2, m2 = plain(loc2, ass2, b, rngs[t])
+    pooled_bias = np.asarray(loc_p.params["param_predictor"]["bias"])
+    replay_bias = np.asarray(loc2.params["param_predictor"]["bias"])
+    init_bias = np.array([0.8, 0.0, 0.0, 0.0, 0.8, 0.0], dtype=np.float32)
+    # both trained: moved off init, in the same direction, similar size
+    assert not np.allclose(pooled_bias, init_bias)
+    np.testing.assert_allclose(pooled_bias, replay_bias, atol=2e-3)
+
+
+def test_trainer_span_triggers_with_pooled_step():
+    """log/snapshot/hook intervals fire on crossings when the trainer
+    advances steps_per_call iterations per call."""
+    from loans_tpu.train.loop import Hook, _crossed
+
+    assert _crossed(0, 4, 4) and not _crossed(4, 7, 4) and _crossed(7, 8, 4)
+    h = Hook(lambda t, i: None, every=10)
+    assert h.due_span(9, 12) and not h.due_span(10, 19) and h.due_span(19, 20)
