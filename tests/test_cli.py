@@ -28,6 +28,7 @@ def trained_log_dir(tmp_path_factory):
             "--snapshot-interval", "0",
             "--eval-batches", "1",
             "--plot-interval", "2",
+            "--steps-per-call", "1",
         ]
     )
     return log_dir
@@ -164,6 +165,7 @@ def test_train_cli_lr_schedule(tmp_path):
             "--log-interval", "2",
             "--snapshot-interval", "0",
             "--eval-batches", "0",
+            "--steps-per-call", "1",
             "--lr-shift", "1e-3", "1e-5", "0", "4",
         ]
     )
@@ -171,3 +173,28 @@ def test_train_cli_lr_schedule(tmp_path):
     lrs = [e["lr"] for e in log if "lr" in e]
     assert lrs[-1] < lrs[0]  # decayed toward target
     assert abs(lrs[-1] - 1e-5) < 1e-6
+
+
+def test_train_cli_pooled_chunked_cadence(tmp_path):
+    """Default device-data path: steps-per-call auto (8), intervals fire
+    on crossings, snapshots land on chunk boundaries."""
+    from loans_tpu.cli.train_localizer import main
+
+    log_dir = main(
+        [
+            "synthetic:16", "synthetic:16", "synthetic:8",
+            "--batch-size", "8",
+            "--target-size", "32", "32",
+            "--crop-size", "8", "8",
+            "--n-layers", "18",
+            "--iterations", "16",
+            "--log-dir", str(tmp_path),
+            "--log-interval", "8",
+            "--snapshot-interval", "16",
+            "--eval-batches", "1",
+        ]
+    )
+    log = json.load(open(os.path.join(log_dir, "log")))
+    iters = [e["iteration"] for e in log if "iteration" in e]
+    assert iters == [8, 16]
+    assert os.path.exists(os.path.join(log_dir, "Localizer_16.msgpack"))
