@@ -63,6 +63,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-model", default=None,
                    help="backbone weights to load (head skipped)")
     p.add_argument("--rotation-dropout-ratio", type=float, default=0.0)
+    p.add_argument("--assessor-pipeline", choices=["pil", "stn"],
+                   default="pil",
+                   help="how synthetic assessor crops are rendered: PIL "
+                   "crop+resize (reference parity) or the production STN "
+                   "sampler (matches the localizer's crop distribution)")
     p.add_argument("--grayscale-rois", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype (convs AND batchnorm; "
@@ -149,6 +154,7 @@ def build_datasets(args):
             image_size=img,
             seed=args.seed + 1,
             output_dtype="uint8",
+            crop_pipeline=getattr(args, "assessor_pipeline", "pil"),
         )
     else:
         reference = LabeledImageDataset(

@@ -208,9 +208,9 @@ class PasteAndCropGenerator:
         self._iou_index = (self._iou_index + 1) % len(IOU_RANGE)
         return min(IOU_RANGE[self._iou_index], 1.0)
 
-    def iou_crop(self, scene: PasteResult):
-        """Rejection-sample a crop matching the next stratified IoU
-        (``paste_and_crop_sheep.py:45-81``)."""
+    def iou_crop_sample(self, scene: PasteResult):
+        """Rejection-sample a crop BOX matching the next stratified IoU
+        (``paste_and_crop_sheep.py:45-81``); returns (box, iou)."""
         rng = self.rng
         desired = self._next_desired_iou()
         bbox = scene.paste_bbox
@@ -232,12 +232,18 @@ class PasteAndCropGenerator:
             crop = iou_crop_box(rng, (sw, sh), bbox, cw, ch, desired)
             iou = _bbox_iou_xyxy(crop, bbox)
             if desired - 0.05 < iou <= desired:
-                return scene.image.crop(tuple(crop)), iou
+                return crop, iou
         # Fall back to whatever the last attempt produced.
+        return crop, iou
+
+    def iou_crop(self, scene: PasteResult):
+        """PIL-pipeline crop for the next stratified IoU."""
+        crop, iou = self.iou_crop_sample(scene)
         return scene.image.crop(tuple(crop)), iou
 
-    def naive_zoom(self, scene: PasteResult):
-        """Random zoom containing the stamp (``paste_and_crop_sheep.py:84-106``)."""
+    def naive_zoom_sample(self, scene: PasteResult):
+        """Random zoom BOX containing the stamp
+        (``paste_and_crop_sheep.py:84-106``); returns (box, iou)."""
         rng = self.rng
         bbox = scene.paste_bbox
         bw, bh = bbox[2] - bbox[0], bbox[3] - bbox[1]
@@ -255,8 +261,30 @@ class PasteAndCropGenerator:
             for mi, ma in zip(ins_min, ins_max)
         ]
         crop = [point[0], point[1], point[0] + cw, point[1] + ch]
+        # reference labels the IoU of the un-rounded crop
+        # (paste_and_crop_sheep.py:84-106), then crops integer pixels
         iou = _bbox_iou_xyxy(crop, bbox)
+        return np.array([int(v) for v in crop]), iou
+
+    def naive_zoom(self, scene: PasteResult):
+        """PIL-pipeline naive-zoom crop."""
+        crop, iou = self.naive_zoom_sample(scene)
         return scene.image.crop(tuple(int(v) for v in crop)), iou
+
+    def sample_box(self) -> tuple[np.ndarray, np.ndarray, float]:
+        """One scene + crop box + IoU label, crop NOT rendered.
+
+        Used by the STN-pipeline assessor dataset: the crop is produced
+        later by the separable STN sampler — the exact operator the
+        localizer uses — so the assessor trains on the distribution it
+        scores (no PIL-vs-STN domain gap)."""
+        scene = self.paste()
+        if self.rng.random() >= 0.3:
+            box, iou = self.iou_crop_sample(scene)
+        else:
+            box, iou = self.naive_zoom_sample(scene)
+        arr = np.asarray(scene.image.convert("RGB"), dtype=np.uint8)
+        return arr, np.asarray(box, dtype=np.float32), float(iou)
 
     def sample(self) -> tuple[np.ndarray, float]:
         scene = self.paste()
@@ -302,19 +330,41 @@ class SyntheticAssessorDataset:
 
     ``output_dtype='uint8'`` returns raw bytes (4x less host->device
     bandwidth; the jitted train step normalizes on device).
+
+    ``crop_pipeline='stn'`` renders the crops with the production STN
+    separable sampler (``ops/stn.py``) instead of PIL crop+resize. PIL's
+    resize antialiases; the STN bilinear point-samples — an assessor
+    trained on PIL crops systematically over-scores the localizer's STN
+    crops (measured +0.1-0.3 in round 2), which caps weakly-supervised
+    quality. 'stn' trains the assessor on the exact distribution it
+    scores during the alternating update. 'pil' is reference parity
+    (``paste_and_crop_sheep.py``).
     """
 
     def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
-                 output_dtype="float32"):
+                 output_dtype="float32", crop_pipeline="pil"):
         self.output_dtype = output_dtype
         gen = PasteAndCropGenerator(
             image_size=image_size,
             output_size=(output_size[1], output_size[0]),
             seed=seed,
         )
-        self.items = _parallel_generate(
-            gen, n, seed, lambda g: g.sample()
-        )
+        if crop_pipeline == "stn":
+            triples = _parallel_generate(
+                gen, n, seed, lambda g: g.sample_box()
+            )
+            crops = _render_stn_crops(
+                triples, (output_size[0], output_size[1])
+            )
+            self.items = [
+                (crop, iou) for crop, (_, _, iou) in zip(crops, triples)
+            ]
+        elif crop_pipeline == "pil":
+            self.items = _parallel_generate(
+                gen, n, seed, lambda g: g.sample()
+            )
+        else:
+            raise ValueError(f"unknown crop_pipeline: {crop_pipeline!r}")
 
     def __len__(self):
         return len(self.items)
@@ -327,6 +377,45 @@ class SyntheticAssessorDataset:
 
     def __getitem__(self, i):
         return self.get_example(i)
+
+
+def _render_stn_crops(triples, out_hw) -> list[np.ndarray]:
+    """Batch-render (scene, box) pairs to uint8 crops with the separable
+    STN sampler — the exact operator the localizer applies."""
+    import jax
+    import jax.numpy as jnp
+
+    from loans_tpu.ops.geometry import Size, box_to_theta
+    from loans_tpu.ops.stn import spatial_transform
+
+    h, w = out_hw
+    size = Size(*triples[0][0].shape[:2])
+
+    @jax.jit
+    def render(scenes_u8, boxes):
+        scenes = scenes_u8.astype(jnp.float32) / 255.0
+        theta = box_to_theta(boxes, size)
+        crops = spatial_transform(
+            scenes, theta, Size(h, w), method="separable"
+        )
+        return jnp.clip(jnp.round(crops * 255.0), 0, 255).astype(jnp.uint8)
+
+    out: list[np.ndarray] = []
+    batch = 256
+    n = len(triples)
+    for start in range(0, n, batch):
+        part = triples[start : start + batch]
+        # pad the tail so the jit sees one static shape
+        pad = batch - len(part)
+        scenes = np.stack(
+            [t[0] for t in part] + [part[-1][0]] * pad
+        )
+        boxes = np.stack(
+            [t[1] for t in part] + [part[-1][1]] * pad
+        )
+        crops = np.asarray(render(scenes, boxes))
+        out.extend(crops[: len(part)])
+    return out
 
 
 class SyntheticLocalizerDataset:

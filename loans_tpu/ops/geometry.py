@@ -140,6 +140,36 @@ def corners_to_bbox(corners: jax.Array, image_size: Size) -> jax.Array:
     return jnp.stack([tl[:, 1], tl[:, 0], br[:, 1], br[:, 0]], axis=1)
 
 
+def box_to_theta(boxes_xyxy: jax.Array, image_size: Size) -> jax.Array:
+    """Axis-aligned theta whose STN crop renders exactly the pixel box.
+
+    Inverse of the *sampler's* coordinate convention (align-corners,
+    ``ops/stn.py``: px = (x + 1) / 2 * (W - 1)): the crop's first/last
+    samples land on pixels x1 and x2 - 1 — the same pixels a PIL
+    ``crop((x1, y1, x2, y2))`` contains. Used to synthesize known-IoU
+    assessor crops through the production STN operator.
+
+    Args:
+      boxes_xyxy: (..., 4) pixel boxes (x1, y1, x2, y2), exclusive end.
+      image_size: source image size.
+
+    Returns:
+      (..., 2, 3) axis-aligned affine params.
+    """
+    boxes_xyxy = jnp.asarray(boxes_xyxy, dtype=jnp.float32)
+    x1, y1, x2, y2 = (boxes_xyxy[..., i] for i in range(4))
+    w1 = max(image_size.width - 1, 1)
+    h1 = max(image_size.height - 1, 1)
+    sx = (x2 - x1 - 1.0) / w1
+    sy = (y2 - y1 - 1.0) / h1
+    tx = (x1 + x2 - 1.0) / w1 - 1.0
+    ty = (y1 + y2 - 1.0) / h1 - 1.0
+    zeros = jnp.zeros_like(sx)
+    row_x = jnp.stack([sx, zeros, tx], axis=-1)
+    row_y = jnp.stack([zeros, sy, ty], axis=-1)
+    return jnp.stack([row_x, row_y], axis=-2)
+
+
 def bbox_iou(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     """Pairwise IoU matrix, chainercv ``bbox_iou`` semantics.
 

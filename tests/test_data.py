@@ -170,3 +170,48 @@ def test_synthetic_parallel_generation_deterministic():
         img_b, iou_b = b.get_example(i)
         np.testing.assert_allclose(img_a, img_b)
         np.testing.assert_allclose(iou_a, iou_b)
+
+
+def test_box_to_theta_roundtrip():
+    """box -> theta -> STN crop content equals the pixel box region."""
+    import jax.numpy as jnp
+
+    from loans_tpu.ops.geometry import Size, box_to_theta
+    from loans_tpu.ops.stn import spatial_transform
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(1, 32, 40, 3)).astype("f")
+    box = np.array([[8, 4, 24, 20]], dtype=np.float32)  # x1 y1 x2 y2
+    theta = box_to_theta(box, Size(32, 40))
+    crop = np.asarray(
+        spatial_transform(
+            jnp.asarray(img), jnp.asarray(theta), Size(16, 16),
+            method="separable",
+        )
+    )
+    # out size == box size -> the STN samples land exactly on pixels
+    np.testing.assert_allclose(crop[0], img[0, 4:20, 8:24], atol=1e-5)
+
+
+def test_assessor_dataset_stn_pipeline():
+    from loans_tpu.data.synthetic import SyntheticAssessorDataset
+
+    ds_pil = SyntheticAssessorDataset(
+        8, output_size=(16, 16), image_size=(64, 64), seed=3,
+        output_dtype="uint8",
+    )
+    ds_stn = SyntheticAssessorDataset(
+        8, output_size=(16, 16), image_size=(64, 64), seed=3,
+        output_dtype="uint8", crop_pipeline="stn",
+    )
+    assert len(ds_stn) == 8
+    for i in range(8):
+        img, iou = ds_stn.get_example(i)
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        assert 0.0 <= float(iou[0]) <= 1.0
+    # same seed -> same crop boxes -> same IoU labels as the PIL path
+    for i in range(8):
+        assert abs(
+            float(ds_stn.get_example(i)[1][0])
+            - float(ds_pil.get_example(i)[1][0])
+        ) < 1e-6
