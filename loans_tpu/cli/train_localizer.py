@@ -63,6 +63,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-model", default=None,
                    help="backbone weights to load (head skipped)")
     p.add_argument("--rotation-dropout-ratio", type=float, default=0.0)
+    p.add_argument("--assessor-refresh", type=int, default=0, metavar="N",
+                   help="regenerate the synthetic assessor pool every ~N "
+                   "iterations in a background thread (device-data only; "
+                   "0 = fixed pool). Unbounded crop stream - prevents the "
+                   "assessor from memorizing a small pool")
     p.add_argument("--assessor-pipeline", choices=["pil", "stn"],
                    default="pil",
                    help="how synthetic assessor crops are rendered: PIL "
@@ -295,6 +300,7 @@ def main(argv=None):
             materialize,
         )
 
+        refresh = None
         if args.supervised:
             groups = {"train": materialize(train_ds)}
         else:
@@ -304,8 +310,32 @@ def main(argv=None):
                 "unlabeled": {"unlabeled": imgs},
                 "reference": {"real": crops, "labels": labels},
             }
+            if args.assessor_refresh and _is_synthetic(args.reference_file):
+                from loans_tpu.data import SyntheticAssessorDataset
+
+                n_ref = _synthetic_n(args.reference_file, 1024)
+
+                def regen_reference(generation: int):
+                    ds = SyntheticAssessorDataset(
+                        n_ref,
+                        output_size=tuple(crop),
+                        image_size=tuple(img),
+                        seed=args.seed + 1 + 104729 * generation,
+                        output_dtype="uint8",
+                        crop_pipeline=args.assessor_pipeline,
+                    )
+                    c, l = materialize(ds)[:2]
+                    return {"real": c, "labels": l}
+
+                refresh = {
+                    "reference": (
+                        regen_reference,
+                        max(args.assessor_refresh // steps_per_call, 1),
+                    )
+                }
         device_batches = device_chunk_batches(
-            mesh, groups, args.batch_size, steps_per_call, seed=args.seed
+            mesh, groups, args.batch_size, steps_per_call, seed=args.seed,
+            refresh=refresh,
         )
     else:
         loader_kw = dict(

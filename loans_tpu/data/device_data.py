@@ -159,6 +159,7 @@ def device_chunk_batches(
     batch_size: int,
     steps_per_call: int,
     seed: int = 0,
+    refresh: dict[str, tuple[Any, int]] | None = None,
 ):
     """Yield ``{'pools', 'idx'}`` chunks for ``make_pooled_train_step``.
 
@@ -169,25 +170,66 @@ def device_chunk_batches(
     sharded over the ``data`` axis on its batch dimension so the
     on-device gather produces data-parallel batches. Host->device
     traffic per K training iterations = the index arrays only.
+
+    ``refresh`` optionally maps a group name to ``(factory, every)``:
+    every ``every`` chunks a background thread calls
+    ``factory(generation:int) -> host pytree`` and the group's pool is
+    swapped in once ready (training never blocks on generation). This
+    turns a fixed pool into an unbounded data stream — the cure for a
+    model memorizing a small pool (round-2 assessor finding). The new
+    pool must keep the leading dimension.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = replicated_sharding(mesh)
-    pools = {
-        g: jax.tree_util.tree_map(
+
+    def upload(tree):
+        return jax.tree_util.tree_map(
             lambda a: jax.device_put(np.ascontiguousarray(a), repl), tree
         )
+
+    pools = {g: upload(tree) for g, tree in groups.items()}
+    sizes = {
+        g: len(jax.tree_util.tree_leaves(tree)[0])
         for g, tree in groups.items()
     }
     idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    seeds = {g: seed + j for j, g in enumerate(groups)}
     samplers = {
-        g: IndexSampler(
-            len(jax.tree_util.tree_leaves(tree)[0]), batch_size,
-            seed=seed + j,
-        ).epochs()
-        for j, (g, tree) in enumerate(groups.items())
+        g: IndexSampler(sizes[g], batch_size, seed=seeds[g]).epochs()
+        for g in groups
     }
+
+    executor = None
+    futures: dict[str, Any] = {}
+    generation: dict[str, int] = {g: 0 for g in groups}
+    if refresh:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+
+    chunk_i = 0
     while True:
+        if refresh:
+            for g, (factory, every) in refresh.items():
+                if g in futures and futures[g].done():
+                    tree = futures.pop(g).result()
+                    pools[g] = upload(tree)
+                    sizes[g] = len(jax.tree_util.tree_leaves(tree)[0])
+                    generation[g] += 1
+                    samplers[g] = IndexSampler(
+                        sizes[g], batch_size,
+                        seed=seeds[g] + 7919 * generation[g],
+                    ).epochs()
+                elif (
+                    g not in futures
+                    and every > 0
+                    and chunk_i > 0
+                    and chunk_i % every == 0
+                ):
+                    futures[g] = executor.submit(
+                        factory, generation[g] + 1
+                    )
         idx = {
             g: jax.device_put(
                 np.stack(
@@ -197,6 +239,7 @@ def device_chunk_batches(
             )
             for g in groups
         }
+        chunk_i += 1
         yield {"pools": pools, "idx": idx}
 
 

@@ -106,3 +106,41 @@ def test_device_eval_batches():
 def test_sampler_rejects_oversized_batch():
     with pytest.raises(ValueError):
         IndexSampler(4, 8)
+
+
+def test_device_chunk_batches_refresh():
+    """Background pool refresh swaps group content without blocking."""
+    import time
+
+    from loans_tpu.data.device_data import device_chunk_batches
+
+    mesh = create_mesh()
+    base = {"real": np.zeros((16, 2, 2, 3), np.float32)}
+    calls = []
+
+    def factory(generation):
+        calls.append(generation)
+        return {
+            "real": np.full((16, 2, 2, 3), float(generation), np.float32)
+        }
+
+    it = device_chunk_batches(
+        mesh, {"reference": base}, batch_size=8, steps_per_call=2,
+        refresh={"reference": (factory, 2)},
+    )
+    first = next(it)
+    assert float(np.asarray(
+        first["pools"]["reference"]["real"]
+    ).max()) == 0.0
+    # chunk 2 schedules the regen; poll until the swap lands
+    val = 0.0
+    for _ in range(50):
+        chunk = next(it)
+        val = float(np.asarray(
+            chunk["pools"]["reference"]["real"]
+        ).max())
+        if val > 0:
+            break
+        time.sleep(0.05)
+    assert val == 1.0
+    assert calls == [1] or calls[0] == 1
