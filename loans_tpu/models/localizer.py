@@ -12,8 +12,8 @@ Re-design of ``sheep/sheep_localizer.py`` (``SheepLocalizer`` /
   * The sampling grid is never materialized: the head returns theta
     (N, 2, 3) and the crop is computed by the separable MXU sampler
     (``ops/stn.py``), legal because ``rotation_dropout(ratio=0.0)``
-    statically zeroes the off-diagonals. Nonzero ratios fall back to the
-    general gather sampler.
+    statically zeroes the off-diagonals. Nonzero ratios use the dense
+    rotated sampler (per-row MXU contractions, no gathers).
   * Whether the extra ``res6``/``res7`` stages exist is decided by the
     static ``input_size`` config (``sheep_localizer.py:51-55`` switches on
     runtime shape, which would retrace under jit).
@@ -67,7 +67,9 @@ class Localizer(nn.Module):
       input_size: static training input size; enables res6 (>224) and
         res7 (>300) like the reference.
       rotation_dropout_ratio: see ``ops/rotation_dropout``.
-      sampler: 'separable' | 'pallas' | 'general' | 'auto'.
+      sampler: 'separable' | 'pallas' | 'rotated' | 'rotated_pallas'
+        | 'general' | 'auto' (separable when rotation_dropout_ratio == 0,
+        rotated otherwise).
       transform_rois_to_grayscale: collapse crops to 1 channel.
     """
 
@@ -129,7 +131,7 @@ class Localizer(nn.Module):
         method = self.sampler
         if method == "auto":
             method = (
-                "separable" if self.rotation_dropout_ratio == 0.0 else "general"
+                "separable" if self.rotation_dropout_ratio == 0.0 else "rotated"
             )
         rois = spatial_transform(images, theta, self.out_size, method=method)
 

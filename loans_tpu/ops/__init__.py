@@ -22,6 +22,8 @@ from loans_tpu.ops.rotation_dropout import rotation_dropout
 from loans_tpu.ops.stn import (
     affine_grid,
     sample_grid,
+    sample_rotated_dense,
+    sample_rotated_pallas,
     sample_separable,
     sample_separable_pallas,
     spatial_transform,
@@ -45,6 +47,8 @@ __all__ = [
     "rotation_dropout",
     "affine_grid",
     "sample_grid",
+    "sample_rotated_dense",
+    "sample_rotated_pallas",
     "sample_separable",
     "sample_separable_pallas",
     "spatial_transform",

@@ -6,12 +6,19 @@ it to chainer's CUDA kernels (``F.spatial_transformer_grid`` /
 gradient that flows crop -> affine params -> backbone is where localizer
 learning happens.
 
-Three TPU-native implementations, equal numerics:
+Five TPU-native implementations, equal numerics:
 
 1. ``sample_grid`` — general gather-based bilinear sampling of a
    materialized grid. Works for arbitrary affine transforms (rotation,
    shear). Gathers are VPU/scalar work on TPU; this is the correctness
-   reference and the fallback for rotated grids.
+   reference for the other paths.
+
+1b. ``sample_rotated_dense`` / ``sample_rotated_pallas`` — the fast
+   general-affine paths: for an affine grid both coordinates vary
+   linearly along an output row, so direct bilinear sampling factors
+   into per-row dense hat-weight contractions that run on the MXU (no
+   gathers, no scatter-add backward). Used when
+   ``rotation_dropout_ratio > 0`` makes theta non-axis-aligned.
 
 2. ``sample_separable`` — the production path. The production config runs
    ``rotation_dropout(ratio=0.0)`` (``sheep/sheep_localizer.py:61``) which
@@ -134,15 +141,22 @@ def _interp_weights(
 
     Returns:
       (N, out_dim, in_dim) weight matrices.
+
+    Coordinate math runs in float32 regardless of ``dtype``: pixel
+    positions reach in_dim-1 (e.g. 223) where bfloat16 spacing is ~1px,
+    which would quantize the sampling positions themselves. Only the
+    final hat weights are cast down for the MXU contraction.
     """
-    u = jnp.linspace(-1.0, 1.0, out_dim, dtype=dtype)
-    p = (scale[:, None] * u[None, :] + shift[:, None] + 1.0) * (
-        0.5 * (in_dim - 1)
-    )  # (N, out_dim)
-    j = jnp.arange(in_dim, dtype=dtype)
+    u = jnp.linspace(-1.0, 1.0, out_dim, dtype=jnp.float32)
+    p = (
+        scale.astype(jnp.float32)[:, None] * u[None, :]
+        + shift.astype(jnp.float32)[:, None]
+        + 1.0
+    ) * (0.5 * (in_dim - 1))  # (N, out_dim)
+    j = jnp.arange(in_dim, dtype=jnp.float32)
     return jnp.maximum(
         0.0, 1.0 - jnp.abs(p[:, :, None] - j[None, None, :])
-    )
+    ).astype(dtype)
 
 
 def sample_separable(
@@ -188,6 +202,81 @@ def sample_separable(
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(images.dtype)
+
+
+def sample_rotated_dense(
+    images: jax.Array, theta: jax.Array, out_size: Size
+) -> jax.Array:
+    """General-affine bilinear crop as dense per-row MXU contractions.
+
+    Replaces the gather path (``sample_grid``) for rotated/sheared theta
+    with TPU-friendly dense math, *bit-exact in semantics*: for an
+    affine grid, both sampling coordinates vary linearly along an output
+    row, so direct bilinear sampling factors per row i as
+
+        out[i, j] = sum_y hat(py(i,j) - y) * (img[y, :] @ hat(px(i,j) - x))
+
+    i.e. one (H,W)x(W,w_out) matmul against a hat-weight matrix built
+    from iota, then a masked reduction over H. No gathers, no
+    scatter-adds in the backward (autodiff of matmuls). Exactly matches
+    ``sample_grid(images, affine_grid(theta))`` including zero padding
+    (hat weights taper to zero over the one-pixel border).
+
+    Reference op being replaced: ``F.spatial_transformer_sampler``
+    (``sheep/sheep_localizer.py:63``) on the ``rotation_dropout_ratio
+    > 0`` path where theta has nonzero off-diagonals.
+
+    Args:
+      images: (N, H, W, C).
+      theta: (N, 2, 3) arbitrary affine params.
+      out_size: crop size.
+
+    Returns:
+      (N, H_out, W_out, C) crops.
+    """
+    n, h, w, c = images.shape
+    h_out, w_out = int(out_size.height), int(out_size.width)
+    cdt = images.dtype
+    t = theta.astype(jnp.float32)
+    u = jnp.linspace(-1.0, 1.0, w_out, dtype=jnp.float32)  # (w_out,)
+    v = jnp.linspace(-1.0, 1.0, h_out, dtype=jnp.float32)  # (h_out,)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+
+    def row(_, vi):
+        # Sampling pixel coords along this output row: (N, w_out).
+        px = (
+            t[:, 0, 0, None] * u + t[:, 0, 1, None] * vi + t[:, 0, 2, None]
+            + 1.0
+        ) * (0.5 * (w - 1))
+        py = (
+            t[:, 1, 0, None] * u + t[:, 1, 1, None] * vi + t[:, 1, 2, None]
+            + 1.0
+        ) * (0.5 * (h - 1))
+        wxm = jnp.maximum(
+            0.0, 1.0 - jnp.abs(px[:, None, :] - xs[None, :, None])
+        ).astype(cdt)  # (N, W, w_out)
+        wym = jnp.maximum(
+            0.0, 1.0 - jnp.abs(py[:, None, :] - ys[None, :, None])
+        ).astype(cdt)  # (N, H, w_out)
+        tmp = jax.lax.dot_general(
+            images,
+            wxm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, H, C, w_out)
+        out_row = jnp.einsum(
+            "nhj,nhcj->njc",
+            wym,
+            tmp.astype(cdt),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, w_out, C)
+        return None, out_row.astype(cdt)
+
+    _, rows = jax.lax.scan(row, None, v)  # (h_out, N, w_out, C)
+    return rows.transpose(1, 0, 2, 3)
 
 
 def _separable_kernel(theta_ref, img_ref, out_ref):
@@ -241,6 +330,137 @@ def _separable_kernel(theta_ref, img_ref, out_ref):
             precision=jax.lax.Precision.HIGHEST,
         )
         out_ref[0, ch] = out.astype(out_ref.dtype)
+
+
+def _rotated_kernel(theta_ref, img_ref, out_ref):
+    """Pallas kernel: one image per grid step, rows looped in-kernel.
+
+    The image block stays resident in VMEM across the whole row loop and
+    neither the per-row hat-weight matrices nor the (H, w_out)
+    intermediate ever touch HBM — the XLA ``sample_rotated_dense``
+    formulation streams ~1 GB/call of weight+intermediate traffic that
+    this kernel eliminates entirely.
+    """
+    c = img_ref.shape[1]
+    h = img_ref.shape[2]
+    w = img_ref.shape[3]
+    h_out = out_ref.shape[2]
+    w_out = out_ref.shape[3]
+
+    b = pl.program_id(0)
+    t00 = theta_ref[b, 0]
+    t01 = theta_ref[b, 1]
+    t02 = theta_ref[b, 2]
+    t10 = theta_ref[b, 3]
+    t11 = theta_ref[b, 4]
+    t12 = theta_ref[b, 5]
+
+    imgs = [img_ref[0, ch].astype(jnp.float32) for ch in range(c)]
+
+    step_v = 2.0 / (h_out - 1) if h_out > 1 else 0.0
+    step_u = 2.0 / (w_out - 1) if w_out > 1 else 0.0
+
+    def hat(scale, offset, in_dim):
+        # (in_dim, w_out): rows = input pixel index, cols = output pos j.
+        # Sampling coordinate along the row: p_j = scale*u_j + offset,
+        # mapped to pixels align-corners.
+        jj = jax.lax.broadcasted_iota(jnp.int32, (in_dim, w_out), 1).astype(
+            jnp.float32
+        )
+        pix = jax.lax.broadcasted_iota(jnp.int32, (in_dim, w_out), 0).astype(
+            jnp.float32
+        )
+        p = (scale * (-1.0 + step_u * jj) + offset + 1.0) * (
+            0.5 * (in_dim - 1)
+        )
+        return jnp.maximum(0.0, 1.0 - jnp.abs(p - pix))
+
+    def body(i, carry):
+        vi = -1.0 + step_v * i.astype(jnp.float32)
+        wxm = hat(t00, t01 * vi + t02, w)  # (W, w_out)
+        wym = hat(t10, t11 * vi + t12, h)  # (H, w_out)
+        new = []
+        for ch in range(c):
+            tmp = jnp.dot(
+                imgs[ch],
+                wxm,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (H, w_out)
+            row = jnp.sum(wym * tmp, axis=0, keepdims=True)  # (1, w_out)
+            new.append(
+                jax.lax.dynamic_update_slice(carry[ch], row, (i, 0))
+            )
+        return new
+
+    init = [
+        jnp.zeros((h_out, w_out), dtype=jnp.float32) for _ in range(c)
+    ]
+    acc = jax.lax.fori_loop(0, h_out, body, init)
+    for ch in range(c):
+        out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
+
+
+def _sample_rotated_pallas_fwd_impl(
+    images: jax.Array, theta: jax.Array, h_out: int, w_out: int
+) -> jax.Array:
+    n, h, w, c = images.shape
+    theta_flat = theta.reshape(n, 6).astype(jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    images_nchw = images.transpose(0, 3, 1, 2)
+    out_nchw = pl.pallas_call(
+        _rotated_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, c, h, w),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, h_out, w_out),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c, h_out, w_out), images.dtype),
+        interpret=interpret,
+    )(theta_flat, images_nchw)
+    return out_nchw.transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sample_rotated_pallas(images, theta, h_out, w_out):
+    return _sample_rotated_pallas_fwd_impl(images, theta, h_out, w_out)
+
+
+def _rotated_pallas_fwd(images, theta, h_out, w_out):
+    out = _sample_rotated_pallas_fwd_impl(images, theta, h_out, w_out)
+    return out, (images, theta)
+
+
+def _rotated_pallas_bwd(h_out, w_out, residuals, g):
+    images, theta = residuals
+    _, vjp = jax.vjp(
+        lambda im, th: sample_rotated_dense(im, th, Size(h_out, w_out)),
+        images,
+        theta,
+    )
+    return vjp(g)
+
+
+_sample_rotated_pallas.defvjp(_rotated_pallas_fwd, _rotated_pallas_bwd)
+
+
+def sample_rotated_pallas(
+    images: jax.Array, theta: jax.Array, out_size: Size
+) -> jax.Array:
+    """Fused Pallas version of ``sample_rotated_dense`` (forward), with
+    the dense formulation's VJP as its backward."""
+    return _sample_rotated_pallas(
+        images, theta, int(out_size.height), int(out_size.width)
+    )
 
 
 def _sample_separable_pallas_fwd_impl(
@@ -322,8 +542,10 @@ def spatial_transform(
       theta: (N, 2, 3).
       out_size: crop size.
       method: 'separable' (MXU matmuls; requires axis-aligned theta),
-        'pallas' (fused kernel, same requirement), or 'general'
-        (gather-based; any theta).
+        'pallas' (fused kernel, same requirement), 'rotated' (dense
+        per-row MXU contractions; any theta), 'rotated_pallas' (fused
+        kernel of the same; any theta), or 'general' (gather-based
+        correctness reference; any theta).
 
     Returns:
       (N, H_out, W_out, C) crops.
@@ -332,6 +554,10 @@ def spatial_transform(
         return sample_separable(images, theta, out_size)
     if method == "pallas":
         return sample_separable_pallas(images, theta, out_size)
+    if method == "rotated":
+        return sample_rotated_dense(images, theta, out_size)
+    if method == "rotated_pallas":
+        return sample_rotated_pallas(images, theta, out_size)
     if method == "general":
         return sample_grid(images, affine_grid(theta, out_size))
     raise ValueError(f"unknown spatial_transform method: {method!r}")

@@ -156,3 +156,123 @@ def test_finite_difference_theta_grad():
             float(loss(theta + dt)) - float(loss(theta - dt))
         ) / (2 * eps)
         np.testing.assert_allclose(g[0, i, j], fd, rtol=5e-2, atol=5e-2)
+
+
+def rotated_theta(rng, n):
+    """Full-affine thetas with significant rotation/shear terms."""
+    theta = axis_aligned_theta(rng, n)
+    theta[:, 0, 1] = rng.uniform(-0.3, 0.3, n)
+    theta[:, 1, 0] = rng.uniform(-0.3, 0.3, n)
+    return theta
+
+
+def test_rotated_dense_matches_general():
+    from loans_tpu.ops import sample_rotated_dense
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(4, 24, 20, 3)).astype(np.float32)
+    theta = rotated_theta(rng, 4)
+    out_size = Size(9, 11)
+    general = sample_grid(
+        jnp.asarray(img), affine_grid(jnp.asarray(theta), out_size)
+    )
+    dense = sample_rotated_dense(
+        jnp.asarray(img), jnp.asarray(theta), out_size
+    )
+    np.testing.assert_allclose(
+        np.asarray(general), np.asarray(dense), atol=1e-4
+    )
+
+
+def test_rotated_pallas_matches_general():
+    from loans_tpu.ops import sample_rotated_pallas
+
+    rng = np.random.default_rng(8)
+    img = rng.uniform(size=(3, 16, 18, 3)).astype(np.float32)
+    theta = rotated_theta(rng, 3)
+    out_size = Size(8, 10)
+    general = sample_grid(
+        jnp.asarray(img), affine_grid(jnp.asarray(theta), out_size)
+    )
+    fused = sample_rotated_pallas(
+        jnp.asarray(img), jnp.asarray(theta), out_size
+    )
+    np.testing.assert_allclose(
+        np.asarray(general), np.asarray(fused), atol=1e-4
+    )
+
+
+def test_rotated_dense_out_of_bounds_reads_zero():
+    from loans_tpu.ops import sample_rotated_dense
+
+    img = jnp.ones((1, 10, 10, 1), dtype=jnp.float32)
+    # Strong shift pushes most of the crop outside the image.
+    theta = jnp.asarray(
+        [[[1.0, 0.2, 1.8], [0.1, 1.0, 0.0]]], dtype=jnp.float32
+    )
+    out_size = Size(6, 6)
+    general = sample_grid(img, affine_grid(theta, out_size))
+    dense = sample_rotated_dense(img, theta, out_size)
+    np.testing.assert_allclose(
+        np.asarray(general), np.asarray(dense), atol=1e-5
+    )
+    assert float(np.asarray(dense).min()) == 0.0  # truly outside -> zero
+
+
+def test_gradients_rotated_dense_vs_general():
+    from loans_tpu.ops import sample_rotated_dense
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.uniform(size=(2, 12, 14, 2)).astype(np.float32))
+    theta = jnp.asarray(rotated_theta(rng, 2))
+    out_size = Size(5, 7)
+
+    def loss_general(im, th):
+        out = sample_grid(im, affine_grid(th, out_size))
+        return jnp.sum(out * out)
+
+    def loss_dense(im, th):
+        out = sample_rotated_dense(im, th, out_size)
+        return jnp.sum(out * out)
+
+    g_img, g_th = jax.grad(loss_general, argnums=(0, 1))(img, theta)
+    d_img, d_th = jax.grad(loss_dense, argnums=(0, 1))(img, theta)
+    np.testing.assert_allclose(
+        np.asarray(g_img), np.asarray(d_img), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(g_th), np.asarray(d_th), atol=2e-3)
+
+
+def test_gradients_rotated_pallas_vjp():
+    from loans_tpu.ops import sample_rotated_dense, sample_rotated_pallas
+
+    rng = np.random.default_rng(10)
+    img = jnp.asarray(rng.uniform(size=(2, 12, 14, 2)).astype(np.float32))
+    theta = jnp.asarray(rotated_theta(rng, 2))
+    out_size = Size(5, 7)
+
+    def loss(fn):
+        return lambda im, th: jnp.sum(fn(im, th, out_size) ** 2)
+
+    d = jax.grad(loss(sample_rotated_dense), argnums=(0, 1))(img, theta)
+    p = jax.grad(loss(sample_rotated_pallas), argnums=(0, 1))(img, theta)
+    for a, b in zip(d, p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_rotated_dense_axis_aligned_matches_separable():
+    from loans_tpu.ops import sample_rotated_dense
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(4, 24, 20, 3)).astype(np.float32)
+    theta = axis_aligned_theta(rng, 4)
+    out_size = Size(9, 11)
+    separable = sample_separable(
+        jnp.asarray(img), jnp.asarray(theta), out_size
+    )
+    dense = sample_rotated_dense(
+        jnp.asarray(img), jnp.asarray(theta), out_size
+    )
+    np.testing.assert_allclose(
+        np.asarray(separable), np.asarray(dense), atol=1e-4
+    )
