@@ -39,6 +39,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=2,
                    help="seed for 'synthetic:N' gt (default 2 = the "
                    "train CLI's val split, seed+2 with seed 0)")
+    p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
+                   help="shared procedural asset world: N assets with "
+                   "asset seed (--seed - 2) + 9973, matching a train run "
+                   "that used --synthetic-assets N (0 = legacy)")
     return p
 
 
@@ -58,11 +62,19 @@ def main(argv=None):
     )
     size = evaluator.image_size
     if _is_synthetic(args.gt):
+        asset_kw = {}
+        if args.synthetic_assets:
+            # train CLI: val seed = seed+2, asset seed = seed+9973
+            asset_kw = dict(
+                asset_seed=args.seed - 2 + 9973,
+                n_assets=args.synthetic_assets,
+            )
         ds = SyntheticLocalizerDataset(
             _synthetic_n(args.gt, 64),
             image_size=tuple(size),
             seed=args.seed,
             labeled=True,
+            **asset_kw,
         )
     else:
         ds = LabeledImageDataset(args.gt, image_size=tuple(size))

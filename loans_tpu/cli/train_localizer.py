@@ -68,6 +68,17 @@ def get_parser() -> argparse.ArgumentParser:
                    "iterations in a background thread (device-data only; "
                    "0 = fixed pool). Unbounded crop stream - prevents the "
                    "assessor from memorizing a small pool")
+    p.add_argument("--assessor-augment", action="store_true",
+                   help="on-device flip/photometric augmentation of the "
+                   "assessor's labeled crops (IoU-label preserving; "
+                   "data/device_augment.py)")
+    p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
+                   help="share ONE procedural asset world (N stamps + N "
+                   "backgrounds) across the synthetic train/reference/val "
+                   "datasets instead of per-dataset disjoint assets - the "
+                   "reference's paste_and_crop templates are the same "
+                   "object class as its unlabeled frames. 0 = legacy "
+                   "per-dataset assets (16 each)")
     p.add_argument("--assessor-pipeline", choices=["pil", "stn"],
                    default="pil",
                    help="how synthetic assessor crops are rendered: PIL "
@@ -143,10 +154,15 @@ def build_datasets(args):
 
     img = tuple(args.target_size)
     crop = tuple(args.crop_size)
+    asset_kw = {}
+    if args.synthetic_assets:
+        asset_kw = dict(
+            asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
+        )
     if _is_synthetic(args.train_file):
         train = SyntheticLocalizerDataset(
             _synthetic_n(args.train_file, 512), image_size=img,
-            seed=args.seed, output_dtype="uint8",
+            seed=args.seed, output_dtype="uint8", **asset_kw,
         )
     else:
         train = ImageDataset(
@@ -160,6 +176,7 @@ def build_datasets(args):
             seed=args.seed + 1,
             output_dtype="uint8",
             crop_pipeline=getattr(args, "assessor_pipeline", "pil"),
+            **asset_kw,
         )
     else:
         reference = LabeledImageDataset(
@@ -169,6 +186,7 @@ def build_datasets(args):
         val = SyntheticLocalizerDataset(
             _synthetic_n(args.val_file, 64), image_size=img,
             seed=args.seed + 2, labeled=True, output_dtype="uint8",
+            **asset_kw,
         )
     else:
         val = LabeledImageDataset(args.val_file, image_size=img)
@@ -315,6 +333,13 @@ def main(argv=None):
 
                 n_ref = _synthetic_n(args.reference_file, 1024)
 
+                asset_kw_refresh = {}
+                if args.synthetic_assets:
+                    asset_kw_refresh = dict(
+                        asset_seed=args.seed + 9973,
+                        n_assets=args.synthetic_assets,
+                    )
+
                 def regen_reference(generation: int):
                     ds = SyntheticAssessorDataset(
                         n_ref,
@@ -323,6 +348,7 @@ def main(argv=None):
                         seed=args.seed + 1 + 104729 * generation,
                         output_dtype="uint8",
                         crop_pipeline=args.assessor_pipeline,
+                        **asset_kw_refresh,
                     )
                     c, l = materialize(ds)[:2]
                     return {"real": c, "labels": l}
@@ -436,6 +462,7 @@ def main(argv=None):
         freeze_assessor=bool(args.resume_discriminator)
         and not args.no_freeze,
         image_size=img,
+        augment_reference=args.assessor_augment,
     )
     if args.supervised:
         from loans_tpu.train import (

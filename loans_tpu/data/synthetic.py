@@ -157,13 +157,26 @@ class PasteAndCropGenerator:
         output_size: tuple[int, int] = (75, 75),
         seed: int = 0,
         n_procedural: int = 16,
+        asset_seed: int | None = None,
     ):
+        """``asset_seed`` decouples the procedural stamp/background
+        *assets* from the sampling stream: generators with the same
+        asset_seed (and n_procedural) share one visual world while
+        drawing independent scenes/crops. This mirrors the reference
+        setting, where the assessor's paste_and_crop templates are the
+        same object class the unlabeled video frames contain
+        (``datasets/sheep/paste_and_crop_sheep.py``) — with per-dataset
+        disjoint assets the assessor is asked to score objects it has
+        never seen, which measurably stalls the localizer."""
         self.rng = random.Random(seed)
+        asset_rng = (
+            random.Random(asset_seed) if asset_seed is not None else self.rng
+        )
         self.stamps = stamps or [
-            make_procedural_stamp(self.rng) for _ in range(n_procedural)
+            make_procedural_stamp(asset_rng) for _ in range(n_procedural)
         ]
         self.backgrounds = backgrounds or [
-            make_procedural_background(self.rng) for _ in range(n_procedural)
+            make_procedural_background(asset_rng) for _ in range(n_procedural)
         ]
         self.image_size = image_size
         self.output_size = output_size
@@ -342,12 +355,15 @@ class SyntheticAssessorDataset:
     """
 
     def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
-                 output_dtype="float32", crop_pipeline="pil"):
+                 output_dtype="float32", crop_pipeline="pil",
+                 asset_seed=None, n_assets=16):
         self.output_dtype = output_dtype
         gen = PasteAndCropGenerator(
             image_size=image_size,
             output_size=(output_size[1], output_size[0]),
             seed=seed,
+            asset_seed=asset_seed,
+            n_procedural=n_assets,
         )
         if crop_pipeline == "stn":
             triples = _parallel_generate(
@@ -422,8 +438,11 @@ class SyntheticLocalizerDataset:
     """Fixed-size dataset of full scenes (+ gt boxes when labeled)."""
 
     def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False,
-                 output_dtype="float32"):
-        gen = PasteAndCropGenerator(image_size=image_size, seed=seed)
+                 output_dtype="float32", asset_seed=None, n_assets=16):
+        gen = PasteAndCropGenerator(
+            image_size=image_size, seed=seed,
+            asset_seed=asset_seed, n_procedural=n_assets,
+        )
         self.labeled = labeled
         self.output_dtype = output_dtype
         self.items = _parallel_generate(

@@ -42,6 +42,10 @@ class AlternatingConfig:
     localizer_target: float = 1.0  # sheep_updater.py:17
     freeze_assessor: bool = False  # "freeze_discriminator", :16
     image_size: Size = Size(224, 224)
+    # On-device flip/photometric jitter of the assessor's labeled crops
+    # (data/device_augment.py) — breaks pool memorization on the
+    # device-resident training path.
+    augment_reference: bool = False
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -86,6 +90,11 @@ def alternating_step_body(localizer, assessor, config: AlternatingConfig):
         real_images = to_float01(batch["real"])
         labels = batch["labels"]
         unlabeled = to_float01(batch["unlabeled"])
+        if config.augment_reference:
+            from loans_tpu.data.device_augment import augment_crops
+
+            rng, aug_rng = jax.random.split(rng)
+            real_images = augment_crops(aug_rng, real_images)
 
         def loc_loss_fn(loc_params):
             rngs = {"rotation_dropout": rng}

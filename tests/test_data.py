@@ -215,3 +215,44 @@ def test_assessor_dataset_stn_pipeline():
             float(ds_stn.get_example(i)[1][0])
             - float(ds_pil.get_example(i)[1][0])
         ) < 1e-6
+
+
+def test_shared_asset_world():
+    """Same asset_seed -> identical stamps/backgrounds across generators
+    with independent sampling streams; different asset_seed -> different
+    assets (the round-2 weak-supervision fix: assessor and localizer
+    must see the same object family)."""
+    import numpy as np
+    from loans_tpu.data.synthetic import PasteAndCropGenerator
+
+    a = PasteAndCropGenerator(seed=0, asset_seed=42, n_procedural=4)
+    b = PasteAndCropGenerator(seed=1, asset_seed=42, n_procedural=4)
+    c = PasteAndCropGenerator(seed=0, asset_seed=43, n_procedural=4)
+    for s_a, s_b in zip(a.stamps, b.stamps):
+        np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    assert any(
+        not np.array_equal(np.asarray(s_a), np.asarray(s_c))
+        for s_a, s_c in zip(a.stamps, c.stamps)
+    )
+    # sampling streams stay independent
+    crop_a, _ = a.sample()
+    crop_b, _ = b.sample()
+    assert not np.array_equal(crop_a, crop_b)
+
+
+def test_device_augment_preserves_shape_and_range():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from loans_tpu.data.device_augment import augment_crops
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)).astype(np.float32))
+    out = augment_crops(jax.random.key(0), imgs)
+    assert out.shape == imgs.shape and out.dtype == imgs.dtype
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # deterministic per key, varying across keys
+    out2 = augment_crops(jax.random.key(0), imgs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = augment_crops(jax.random.key(1), imgs)
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))

@@ -43,8 +43,14 @@ def crop_theta(box, img_h, img_w):
 
 
 def main():
+    # usage: diagnose_assessor.py <log_dir> [iteration] [asset_seed n_assets]
     log_dir = _sys.argv[1]
     want_it = int(_sys.argv[2]) if len(_sys.argv) > 2 else None
+    asset_kw = {}
+    if len(_sys.argv) > 4:
+        asset_kw = dict(
+            asset_seed=int(_sys.argv[3]), n_procedural=int(_sys.argv[4])
+        )
 
     from loans_tpu.data.synthetic import (
         PasteAndCropGenerator,
@@ -74,7 +80,7 @@ def main():
         )
     )
 
-    gen = PasteAndCropGenerator(image_size=(224, 224), seed=123)
+    gen = PasteAndCropGenerator(image_size=(224, 224), seed=123, **asset_kw)
     rng = np.random.default_rng(0)
     by_bin = {}
     for _ in range(512):
