@@ -68,6 +68,13 @@ def get_parser() -> argparse.ArgumentParser:
                    "iterations in a background thread (device-data only; "
                    "0 = fixed pool). Unbounded crop stream - prevents the "
                    "assessor from memorizing a small pool")
+    p.add_argument("--assessor-low-iou", type=float, default=0.0,
+                   metavar="FRAC",
+                   help="fraction of synthetic assessor crops sampled as "
+                   "unconstrained random crops (mostly IoU~0 background) - "
+                   "the stratified reference recipe never emits IoU<0.2, "
+                   "leaving the assessor unconstrained on object-free "
+                   "crops, a hole the localizer can park in")
     p.add_argument("--assessor-augment", action="store_true",
                    help="on-device flip/photometric augmentation of the "
                    "assessor's labeled crops (IoU-label preserving; "
@@ -176,6 +183,7 @@ def build_datasets(args):
             seed=args.seed + 1,
             output_dtype="uint8",
             crop_pipeline=getattr(args, "assessor_pipeline", "pil"),
+            low_iou_fraction=args.assessor_low_iou,
             **asset_kw,
         )
     else:
@@ -348,6 +356,7 @@ def main(argv=None):
                         seed=args.seed + 1 + 104729 * generation,
                         output_dtype="uint8",
                         crop_pipeline=args.assessor_pipeline,
+                        low_iou_fraction=args.assessor_low_iou,
                         **asset_kw_refresh,
                     )
                     c, l = materialize(ds)[:2]

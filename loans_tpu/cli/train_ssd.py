@@ -44,6 +44,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="render detections on a fixed val image every N "
                    "iterations (schaaaafrichter BBOXPlotter: 10)")
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
+                   help="share one procedural asset world (asset seed = "
+                   "seed + 9973) between synthetic train and val, like "
+                   "train_localizer")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -80,12 +84,13 @@ class SSDPlotHook:
 class _SyntheticSSDAdapter:
     """Labeled synthetic scenes -> encoded SSD train tuples."""
 
-    def __init__(self, n, size, coder, seed=0, augment=True):
+    def __init__(self, n, size, coder, seed=0, augment=True, asset_kw=None):
         from loans_tpu.data.ssd_augment import SSDTransform
         from loans_tpu.data.synthetic import SyntheticLocalizerDataset
 
         self.scenes = SyntheticLocalizerDataset(
-            n, image_size=(size, size), seed=seed, labeled=True
+            n, image_size=(size, size), seed=seed, labeled=True,
+            **(asset_kw or {}),
         )
         self.transform = SSDTransform(coder, size, seed=seed, augment=augment)
 
@@ -100,11 +105,12 @@ class _SyntheticSSDAdapter:
 class _SyntheticValAdapter:
     """Labeled synthetic scenes -> (image, padded gt bboxes)."""
 
-    def __init__(self, n, size, seed=0):
+    def __init__(self, n, size, seed=0, asset_kw=None):
         from loans_tpu.data.synthetic import SyntheticLocalizerDataset
 
         self.scenes = SyntheticLocalizerDataset(
-            n, image_size=(size, size), seed=seed, labeled=True
+            n, image_size=(size, size), seed=seed, labeled=True,
+            **(asset_kw or {}),
         )
 
     def __len__(self):
@@ -185,10 +191,16 @@ def main(argv=None):
         },
     )
 
+    asset_kw = {}
+    if args.synthetic_assets:
+        asset_kw = dict(
+            asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
+        )
     if _is_synthetic(args.train_file):
         train_ds = _SyntheticSSDAdapter(
             _synthetic_n(args.train_file, 256), size, coder,
             seed=args.seed, augment=not args.no_augment,
+            asset_kw=asset_kw,
         )
     else:
         train_ds = SSDDataset(
@@ -197,7 +209,8 @@ def main(argv=None):
         )
     if _is_synthetic(args.val_file):
         val_ds = _SyntheticValAdapter(
-            _synthetic_n(args.val_file, 32), size, seed=args.seed + 1
+            _synthetic_n(args.val_file, 32), size, seed=args.seed + 1,
+            asset_kw=asset_kw,
         )
     else:
         val_ds = _ValAdapter(args.val_file, size)

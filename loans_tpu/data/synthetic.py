@@ -158,6 +158,7 @@ class PasteAndCropGenerator:
         seed: int = 0,
         n_procedural: int = 16,
         asset_seed: int | None = None,
+        low_iou_fraction: float = 0.0,
     ):
         """``asset_seed`` decouples the procedural stamp/background
         *assets* from the sampling stream: generators with the same
@@ -179,6 +180,7 @@ class PasteAndCropGenerator:
             make_procedural_background(asset_rng) for _ in range(n_procedural)
         ]
         self.image_size = image_size
+        self.low_iou_fraction = low_iou_fraction
         self.output_size = output_size
         self._iou_index = -1
 
@@ -284,6 +286,34 @@ class PasteAndCropGenerator:
         crop, iou = self.naive_zoom_sample(scene)
         return scene.image.crop(tuple(int(v) for v in crop)), iou
 
+    def random_crop_sample(self, scene: PasteResult):
+        """Unconstrained random crop BOX — mostly IoU ~ 0 (background).
+
+        The stratified sampler never emits IoU < 0.2 (``IOU_RANGE``
+        starts at 0.2, matching ``paste_and_crop_sheep.py:13-14``) and
+        naive zoom always contains the stamp, so without these the
+        assessor never sees object-free crops; its response there is
+        unconstrained (~0.5 measured) and the localizer exploits that
+        hole by parking on background. Labeled with the true IoU like
+        every other crop.
+        """
+        rng = self.rng
+        sw, sh = scene.image.size
+        cw = rng.randint(max(sw // 10, 2), int(sw * 0.9))
+        ch = rng.randint(max(sh // 10, 2), int(sh * 0.9))
+        x = rng.randint(0, sw - cw)
+        y = rng.randint(0, sh - ch)
+        crop = np.array([x, y, x + cw, y + ch])
+        return crop, _bbox_iou_xyxy(crop, scene.paste_bbox)
+
+    def _choose_crop(self, scene: PasteResult):
+        r = self.rng.random()
+        if r < self.low_iou_fraction:
+            return self.random_crop_sample(scene)
+        if r < self.low_iou_fraction + 0.3 * (1 - self.low_iou_fraction):
+            return self.naive_zoom_sample(scene)
+        return self.iou_crop_sample(scene)
+
     def sample_box(self) -> tuple[np.ndarray, np.ndarray, float]:
         """One scene + crop box + IoU label, crop NOT rendered.
 
@@ -292,19 +322,14 @@ class PasteAndCropGenerator:
         localizer uses — so the assessor trains on the distribution it
         scores (no PIL-vs-STN domain gap)."""
         scene = self.paste()
-        if self.rng.random() >= 0.3:
-            box, iou = self.iou_crop_sample(scene)
-        else:
-            box, iou = self.naive_zoom_sample(scene)
+        box, iou = self._choose_crop(scene)
         arr = np.asarray(scene.image.convert("RGB"), dtype=np.uint8)
         return arr, np.asarray(box, dtype=np.float32), float(iou)
 
     def sample(self) -> tuple[np.ndarray, float]:
         scene = self.paste()
-        if self.rng.random() >= 0.3:
-            crop, iou = self.iou_crop(scene)
-        else:
-            crop, iou = self.naive_zoom(scene)
+        box, iou = self._choose_crop(scene)
+        crop = scene.image.crop(tuple(int(v) for v in box))
         crop = crop.convert("RGB").resize(self.output_size, Image.BILINEAR)
         return np.asarray(crop, dtype=np.uint8), float(iou)
 
@@ -356,7 +381,7 @@ class SyntheticAssessorDataset:
 
     def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
                  output_dtype="float32", crop_pipeline="pil",
-                 asset_seed=None, n_assets=16):
+                 asset_seed=None, n_assets=16, low_iou_fraction=0.0):
         self.output_dtype = output_dtype
         gen = PasteAndCropGenerator(
             image_size=image_size,
@@ -364,6 +389,7 @@ class SyntheticAssessorDataset:
             seed=seed,
             asset_seed=asset_seed,
             n_procedural=n_assets,
+            low_iou_fraction=low_iou_fraction,
         )
         if crop_pipeline == "stn":
             triples = _parallel_generate(

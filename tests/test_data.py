@@ -256,3 +256,24 @@ def test_device_augment_preserves_shape_and_range():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
     out3 = augment_crops(jax.random.key(1), imgs)
     assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+def test_low_iou_crop_coverage():
+    """low_iou_fraction fills the [0, 0.2) IoU range the stratified
+    reference recipe never emits — assessor coverage of background."""
+    import numpy as np
+    from loans_tpu.data.synthetic import PasteAndCropGenerator
+
+    gen = PasteAndCropGenerator(seed=0, low_iou_fraction=0.3)
+    ious = np.asarray([gen.sample()[1] for _ in range(300)])
+    # object-free crops (zero intersection) now exist...
+    assert (ious == 0.0).mean() > 0.05
+    # ...and stratified coverage is retained
+    assert (ious > 0.5).mean() > 0.2
+    assert ious.min() >= 0.0 and ious.max() <= 1.0
+
+    # the legacy recipe never produces object-free crops (naive zoom
+    # always contains the stamp; stratified crops overlap >= ~0.15)
+    fixed = PasteAndCropGenerator(seed=0)
+    ious_fixed = np.asarray([fixed.sample()[1] for _ in range(300)])
+    assert (ious_fixed == 0.0).mean() < 0.01

@@ -20,8 +20,15 @@ import numpy as np
 
 
 def main():
+    # usage: diagnose_eval.py <log_dir> [iteration] [val_seed asset_seed n_assets]
     log_dir = _sys.argv[1]
     want_it = int(_sys.argv[2]) if len(_sys.argv) > 2 else None
+    val_seed = int(_sys.argv[3]) if len(_sys.argv) > 3 else 2
+    asset_kw = {}
+    if len(_sys.argv) > 5:
+        asset_kw = dict(
+            asset_seed=int(_sys.argv[4]), n_assets=int(_sys.argv[5])
+        )
 
     from loans_tpu.data.synthetic import SyntheticLocalizerDataset
     from loans_tpu.ops.geometry import bbox_iou
@@ -52,8 +59,8 @@ def main():
     params, stats = jax.device_put((params, stats))
 
     val = SyntheticLocalizerDataset(
-        512, image_size=tuple(size), seed=2, labeled=True,
-        output_dtype="uint8",
+        512, image_size=tuple(size), seed=val_seed, labeled=True,
+        output_dtype="uint8", **asset_kw,
     )
     images = np.stack([val.get_example(i)[0] for i in range(512)])
     gt = np.stack([val.get_example(i)[1][0] for i in range(512)])
