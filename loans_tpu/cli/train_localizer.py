@@ -289,10 +289,16 @@ def main(argv=None):
         from loans_tpu.data import LabeledImageDataset
         from loans_tpu.data.synthetic import SyntheticLocalizerDataset
 
+        sup_asset_kw = {}
+        if args.synthetic_assets:
+            sup_asset_kw = dict(
+                asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
+            )
         if _is_synthetic(args.train_file):
             train_ds = SyntheticLocalizerDataset(
                 _synthetic_n(args.train_file, 512), image_size=tuple(img),
                 seed=args.seed, labeled=True, output_dtype="uint8",
+                **sup_asset_kw,
             )
         else:
             train_ds = LabeledImageDataset(
