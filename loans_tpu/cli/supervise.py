@@ -36,6 +36,11 @@ def get_parser():
                    default=["Localizer", "ResnetAssessor"],
                    help="snapshot prefixes to resume from (order matches "
                    "the train CLI's -rl / -rd flags)")
+    p.add_argument("--resume-flags", nargs="+", default=None,
+                   help="CLI flags to pass each resumed snapshot with, "
+                   "matching --snapshot-names order (default: "
+                   "--resume-localizer / --resume-discriminator+--no-freeze; "
+                   "use '--resume' for the SSD trainer)")
     p.add_argument("command", nargs=argparse.REMAINDER,
                    help="training command after '--'")
     return p
@@ -99,11 +104,16 @@ def main(argv=None):
         launch = list(cmd)
         if resume:
             names = args.snapshot_names
-            if names and names[0] in resume:
-                launch += ["--resume-localizer", resume[names[0]]]
-            if len(names) > 1 and names[1] in resume:
-                launch += ["--resume-discriminator", resume[names[1]],
-                           "--no-freeze"]
+            if args.resume_flags:
+                for name, flag in zip(names, args.resume_flags):
+                    if name in resume:
+                        launch += [flag, resume[name]]
+            else:
+                if names and names[0] in resume:
+                    launch += ["--resume-localizer", resume[names[0]]]
+                if len(names) > 1 and names[1] in resume:
+                    launch += ["--resume-discriminator", resume[names[1]],
+                               "--no-freeze"]
         print(f"[supervise] attempt {attempt}: {' '.join(launch)}",
               flush=True)
         start = time.time()

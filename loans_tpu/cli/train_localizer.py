@@ -304,7 +304,12 @@ def main(argv=None):
             train_ds = LabeledImageDataset(
                 args.train_file, image_size=tuple(img)
             )
-        _, _, val_ds = build_datasets(args)
+        # skip generating the (unused) assessor reference set
+        import argparse as _ap
+
+        val_args = _ap.Namespace(**vars(args))
+        val_args.reference_file = "synthetic:1"
+        _, _, val_ds = build_datasets(val_args)
         ref_ds = None
     else:
         train_ds, ref_ds, val_ds = build_datasets(args)
