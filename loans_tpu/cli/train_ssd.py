@@ -44,6 +44,15 @@ def get_parser() -> argparse.ArgumentParser:
                    help="render detections on a fixed val image every N "
                    "iterations (schaaaafrichter BBOXPlotter: 10)")
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--device-data", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="HBM-resident scene pool + on-device augment/encode "
+                   "scanned step (data/ssd_device.py) - the host 5-step "
+                   "Transform caps throughput at ~10-30 img/s. auto = on "
+                   "for synthetic data")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="train iterations per jitted dispatch on the "
+                   "device-data path (0 = 8)")
     p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
                    help="share one procedural asset world (asset seed = "
                    "seed + 9973) between synthetic train and val, like "
@@ -235,23 +244,67 @@ def main(argv=None):
         state = state.replace(params=params)
     state = replicate(mesh, state)
 
-    loader = DataLoader(
-        train_ds, args.batch_size, repeat=True,
-        num_workers=args.num_workers, seed=args.seed,
+    use_device_data = args.device_data == "on" or (
+        args.device_data == "auto" and _is_synthetic(args.train_file)
     )
-    device_batches = device_prefetch(
-        iter(loader), lambda b: shard_batch(mesh, b)
-    )
+    steps_per_call = 1
+    if use_device_data:
+        from loans_tpu.data.device_data import device_chunk_batches
+        from loans_tpu.data.ssd_device import ssd_pooled_body
+        from loans_tpu.train import make_pooled_train_step
+
+        if not hasattr(train_ds, "scenes"):
+            raise SystemExit(
+                "--device-data on requires synthetic train data "
+                "(raw scene pool); use --device-data off for gt json"
+            )
+        steps_per_call = args.steps_per_call or 8
+        raw = train_ds.scenes  # SyntheticLocalizerDataset (raw scenes)
+        scenes = np.stack([raw.get_example(i)[0] for i in range(len(raw))])
+        boxes = np.stack(
+            [raw.get_example(i)[1][0] for i in range(len(raw))]
+        )[:, None, :].astype(np.float32)
+        groups = {
+            "train": {
+                "scenes": scenes,
+                "boxes": boxes,
+                "valid": np.ones((len(raw), 1), bool),
+            }
+        }
+        device_batches = device_chunk_batches(
+            mesh, groups, args.batch_size, steps_per_call, seed=args.seed
+        )
+        step = make_pooled_train_step(
+            ssd_pooled_body(
+                model, coder, size, augment=not args.no_augment
+            ),
+            steps_per_call,
+        )
+    else:
+        loader = DataLoader(
+            train_ds, args.batch_size, repeat=True,
+            num_workers=args.num_workers, seed=args.seed,
+        )
+        device_batches = device_prefetch(
+            iter(loader), lambda b: shard_batch(mesh, b)
+        )
+        step = make_ssd_train_step(model)
     val_loader = DataLoader(
         val_ds, max(args.batch_size // 2, 1), shuffle=False,
         drop_last=True, num_workers=args.num_workers,
     )
     evaluator = SSDEvaluator(model, coder, max_batches=args.eval_batches)
 
+    last_eval = [-1]
+
     def eval_fn(trainer, iteration):
-        if args.eval_interval and iteration % args.eval_interval == 0:
-            return evaluator(trainer.loc_state, iter(val_loader))
-        return {}
+        if not args.eval_interval:
+            return {}
+        bucket = iteration // args.eval_interval
+        if bucket == last_eval[0]:
+            return {}
+        last_eval[0] = bucket
+        return evaluator(trainer.loc_state, iter(val_loader))
 
     hooks = []
     if args.plot_interval > 0:
@@ -268,7 +321,7 @@ def main(argv=None):
         )
 
     trainer = Trainer(
-        make_ssd_train_step(model),
+        step,
         state,
         None,
         device_batches,
@@ -281,6 +334,7 @@ def main(argv=None):
         eval_fn=eval_fn,
         hooks=hooks,
         snapshot_names=(model_name,),
+        steps_per_call=steps_per_call,
     )
     if args.resume:
         trainer.resume(loc_path=args.resume)
