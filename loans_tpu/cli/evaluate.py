@@ -40,9 +40,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="seed for 'synthetic:N' gt (default 2 = the "
                    "train CLI's val split, seed+2 with seed 0)")
     p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
-                   help="shared procedural asset world: N assets with "
-                   "asset seed (--seed - 2) + 9973, matching a train run "
-                   "that used --synthetic-assets N (0 = legacy)")
+                   help="shared procedural asset world: N assets "
+                   "(0 = legacy per-dataset assets)")
+    p.add_argument("--asset-seed", type=int, default=None,
+                   help="asset-world seed; a train run with seed S and "
+                   "--synthetic-assets used S + 9973 (default: --seed - 2 "
+                   "+ 9973, the localizer val convention)")
     return p
 
 
@@ -64,9 +67,14 @@ def main(argv=None):
     if _is_synthetic(args.gt):
         asset_kw = {}
         if args.synthetic_assets:
-            # train CLI: val seed = seed+2, asset seed = seed+9973
+            # localizer train CLI: val seed = seed+2, asset seed = seed+9973
+            seed = (
+                args.asset_seed
+                if args.asset_seed is not None
+                else args.seed - 2 + 9973
+            )
             asset_kw = dict(
-                asset_seed=args.seed - 2 + 9973,
+                asset_seed=seed,
                 n_assets=args.synthetic_assets,
             )
         ds = SyntheticLocalizerDataset(
