@@ -130,8 +130,12 @@ class Localizer(nn.Module):
 
         method = self.sampler
         if method == "auto":
+            # measured at the bench operating point (b128 ResNet-50 full
+            # step): general 81.5 ms/it vs rotated-dense 130.4 — TPU
+            # gathers beat the dense per-row formulation once autodiff
+            # residuals are accounted for (RESULTS.md sampler table)
             method = (
-                "separable" if self.rotation_dropout_ratio == 0.0 else "rotated"
+                "separable" if self.rotation_dropout_ratio == 0.0 else "general"
             )
         rois = spatial_transform(images, theta, self.out_size, method=method)
 

@@ -379,7 +379,6 @@ def _rotated_kernel(theta_ref, img_ref, out_ref):
         vi = -1.0 + step_v * i.astype(jnp.float32)
         wxm = hat(t00, t01 * vi + t02, w)  # (W, w_out)
         wym = hat(t10, t11 * vi + t12, h)  # (H, w_out)
-        new = []
         for ch in range(c):
             tmp = jnp.dot(
                 imgs[ch],
@@ -388,17 +387,13 @@ def _rotated_kernel(theta_ref, img_ref, out_ref):
                 precision=jax.lax.Precision.HIGHEST,
             )  # (H, w_out)
             row = jnp.sum(wym * tmp, axis=0, keepdims=True)  # (1, w_out)
-            new.append(
-                jax.lax.dynamic_update_slice(carry[ch], row, (i, 0))
-            )
-        return new
+            # dynamic sublane store of one output row (Mosaic supports
+            # dynamic ref slices; loop-carried dynamic_update_slice
+            # does not lower)
+            out_ref[0, ch, pl.ds(i, 1), :] = row.astype(out_ref.dtype)
+        return carry
 
-    init = [
-        jnp.zeros((h_out, w_out), dtype=jnp.float32) for _ in range(c)
-    ]
-    acc = jax.lax.fori_loop(0, h_out, body, init)
-    for ch in range(c):
-        out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
+    jax.lax.fori_loop(0, h_out, body, 0)
 
 
 def _sample_rotated_pallas_fwd_impl(

@@ -22,15 +22,28 @@ from loans_tpu.ops.stn import spatial_transform
 
 BATCH = 64
 IMG, CROP = Size(224, 224), Size(75, 75)
-METHODS = ("separable", "pallas", "general")
+METHODS = ("separable", "pallas", "rotated", "rotated_pallas", "general")
 
 
 def timeit(name, fn, *args, iters=50):
-    out = fn(*args)
+    """Device time per call: ``iters`` applications run inside ONE
+    jitted scan (async dispatch makes per-call host timing measure only
+    enqueue cost for sub-ms ops)."""
+
+    def many(im, th):
+        def step(acc, _):
+            # the carry perturbs theta so LICM cannot hoist the body
+            out = fn(im, th + acc * 1e-20)
+            return acc + out * 1e-20, None
+
+        acc, _ = jax.lax.scan(step, 0.0, None, length=iters)
+        return acc
+
+    jmany = jax.jit(many)
+    out = jmany(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = jmany(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:44s} {dt * 1e3:8.3f} ms", flush=True)
@@ -48,21 +61,32 @@ def main():
             (BATCH, 1, 1),
         )
     )
+    rot = jnp.asarray(
+        np.tile(
+            np.array([[0.7, 0.15, 0.1], [-0.12, 0.6, -0.1]], dtype="f"),
+            (BATCH, 1, 1),
+        )
+    )
 
     print("devices:", jax.devices(), flush=True)
     for m in METHODS:
-        fwd = jax.jit(
-            lambda im, th, m=m: spatial_transform(im, th, CROP, method=m)
+        th = theta if m in ("separable", "pallas") else rot
+        fwd = lambda im, t, m=m: jnp.sum(
+            spatial_transform(im, t, CROP, method=m)
         )
-        timeit(f"{m} forward", fwd, imgs, theta)
+        timeit(f"{m} forward", fwd, imgs, th, iters=100)
 
-        def loss(im, th, m=m):
+        def loss(im, t, m=m):
             return jnp.sum(
-                jnp.square(spatial_transform(im, th, CROP, method=m))
+                jnp.square(spatial_transform(im, t, CROP, method=m))
             )
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        timeit(f"{m} forward+backward (d/dimg,d/dtheta)", grad, imgs, theta)
+        def gsum(im, t, m=m):
+            gi, gt = jax.grad(loss, argnums=(0, 1))(im, t)
+            return jnp.sum(gi) + jnp.sum(gt)
+
+        timeit(f"{m} forward+backward (d/dimg,d/dtheta)", gsum, imgs, th,
+               iters=100)
 
 
 if __name__ == "__main__":

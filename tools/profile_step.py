@@ -99,6 +99,23 @@ def parse_perfetto(outdir, top_k=40):
     print(f"\n== device op totals (ms over the traced window; {total:.1f} ms) ==")
     for name, d in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:top_k]:
         print(f"{d:10.3f} ms  x{cnt_by_name[name]:<5d} {100 * d / max(total, 1e-9):5.1f}%  {name[:110]}")
+    # grouped by base op family (trailing .N stripped), full coverage
+    import re
+
+    fam_d = defaultdict(float)
+    fam_c = defaultdict(int)
+    for name, d in dur_by_name.items():
+        fam = re.sub(r"\.\d+$", "", name)
+        if fam.startswith("jit_"):
+            fam = "jit_dispatch_span"
+        fam_d[fam] += d
+        fam_c[fam] += cnt_by_name[name]
+    print("\n== grouped by op family (full trace coverage) ==")
+    for fam, d in sorted(fam_d.items(), key=lambda kv: -kv[1]):
+        print(
+            f"{d:10.3f} ms  x{fam_c[fam]:<6d} "
+            f"{100 * d / max(total, 1e-9):5.1f}%  {fam[:90]}"
+        )
 
 
 def main():
