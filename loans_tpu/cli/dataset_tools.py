@@ -40,6 +40,7 @@ def cmd_paste_and_crop(args):
         output_size=tuple(args.output_size),
         zoom_mode=not args.no_zoom,
         seed=args.seed,
+        low_iou_fraction=args.low_iou,
     )
     print(f"wrote {out}")
 
@@ -259,6 +260,9 @@ def get_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("paste_and_crop", help="synthesize assessor data")
+    s.add_argument("--low-iou", type=float, default=0.0,
+                   help="fraction of unconstrained random crops (mostly "
+                   "IoU~0; object-free assessor coverage - see RESULTS.md)")
     s.add_argument("destination")
     s.add_argument("num_samples", type=int)
     s.add_argument("--stamps", nargs="+", default=None)

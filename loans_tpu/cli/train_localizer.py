@@ -106,6 +106,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="stream plots to a show-progress viewer")
     p.add_argument("--interactive", action="store_true",
                    help="stdin REPL (shiftlr/setlr/quit/...)")
+    p.add_argument("--eval-bn-warmup", type=int, default=0, metavar="N",
+                   help="re-estimate BatchNorm stats from N val batches "
+                   "before each in-training eval (honest early-run "
+                   "metrics; 0 = reference behavior)")
     p.add_argument("--eval-batches", type=int, default=8,
                    help="bounded in-training eval (FastEvaluator parity)")
     p.add_argument("--num-workers", type=int, default=None)
@@ -415,7 +419,8 @@ def main(argv=None):
 
     eval_batch_size = max(args.batch_size // 2, 1)
     map_eval = MAPEvaluator(
-        localizer, img, max_batches=args.eval_batches
+        localizer, img, max_batches=args.eval_batches,
+        bn_warmup=args.eval_bn_warmup,
     )
     if use_device_data:
         from loans_tpu.data.device_data import device_eval_batches

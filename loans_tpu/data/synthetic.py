@@ -499,6 +499,7 @@ def generate_dataset(
     output_size=(75, 75),
     zoom_mode: bool = True,
     seed: int = 0,
+    low_iou_fraction: float = 0.0,
 ):
     """Offline tool parity: write ``images/<i>.png`` + tab-separated
     ``images.csv`` with IoU labels (``paste_and_crop_sheep.py:178-228``)."""
@@ -517,6 +518,7 @@ def generate_dataset(
         image_size=tuple(image_size),
         output_size=tuple(output_size),
         seed=seed,
+        low_iou_fraction=low_iou_fraction,
     )
     img_dir = os.path.join(destination, "images")
     os.makedirs(img_dir, exist_ok=True)

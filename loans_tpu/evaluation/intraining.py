@@ -35,11 +35,33 @@ class MAPEvaluator:
         iou_thresh: float = 0.5,
         max_batches: int | None = None,
         assessor=None,
+        bn_warmup: int = 0,
     ):
+        """``bn_warmup`` > 0 re-estimates BatchNorm running stats from
+        that many eval batches (train-mode forwards on a copy of the
+        state) before scoring — early-run eval-mode predictions are
+        otherwise degenerate because running stats lag (the offline
+        sweep's ``--bn-warmup``; the reference has no equivalent, its
+        evaluator inherits whatever stats the model has)."""
         self.image_size = image_size
         self.iou_thresh = iou_thresh
         self.max_batches = max_batches
+        self.bn_warmup = bn_warmup
         self._eval_step = make_eval_step(localizer, image_size)
+        from loans_tpu.train.steps import to_float01
+
+        def warm(loc_state, images):
+            _, upd = localizer.apply(
+                {
+                    "params": loc_state.params,
+                    "batch_stats": loc_state.batch_stats,
+                },
+                to_float01(images), train=True, mutable=["batch_stats"],
+                rngs={"rotation_dropout": jax.random.key(0)},
+            )
+            return upd["batch_stats"]
+
+        self._warm = jax.jit(warm)
         self._boxes = jax.jit(
             lambda theta: corners_to_aabb(
                 theta_corners(theta), image_size, clip=True
@@ -77,6 +99,17 @@ class MAPEvaluator:
         acc = AccuracyAccumulator(self.iou_thresh)
         pred_bb, pred_lb, pred_sc, gt_bb, gt_lb = [], [], [], [], []
         crop_scores = []
+        if self.bn_warmup:
+            batch_list = []
+            for i, batch in enumerate(batches):
+                if self.max_batches is not None and i >= self.max_batches:
+                    break
+                batch_list.append(batch)
+            for batch in batch_list[: self.bn_warmup]:
+                loc_state = loc_state.replace(
+                    batch_stats=self._warm(loc_state, batch[0])
+                )
+            batches = batch_list
         for i, batch in enumerate(batches):
             if self.max_batches is not None and i >= self.max_batches:
                 break

@@ -119,3 +119,63 @@ def test_deteval_writer(tmp_path):
     path = w.write(str(tmp_path / "out.xml"))
     text = open(path).read()
     assert "taggedRectangle" in text and 'width="20.00"' in text
+
+
+def test_map_evaluator_bn_warmup_changes_stats():
+    """bn_warmup re-estimates BatchNorm stats before scoring: with an
+    untrained net the warmed eval must differ from the unwarmed one
+    (running stats start at init zeros/ones)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from loans_tpu.evaluation.intraining import MAPEvaluator
+    from loans_tpu.models import Localizer
+    from loans_tpu.ops import Size
+    from loans_tpu.train import adam_amsgrad, create_train_state
+
+    size = Size(32, 32)
+    loc = Localizer(out_size=Size(8, 8), n_layers=18, input_size=size)
+    state = create_train_state(
+        loc, jax.random.key(0), jnp.zeros((2, 32, 32, 3)),
+        adam_amsgrad(1e-3), train=False,
+    )
+    # the reference zero-weight head init makes theta feature-independent;
+    # randomize it so BN stats can influence the prediction
+    params = dict(state.params)
+    head = dict(params["param_predictor"])
+    head["kernel"] = (
+        jax.random.normal(jax.random.key(1), head["kernel"].shape) * 0.05
+    )
+    params["param_predictor"] = head
+    state = state.replace(params=params)
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            rng.uniform(size=(4, 32, 32, 3)).astype(np.float32),
+            np.tile(np.array([4, 4, 20, 20], np.float32), (4, 1, 1)),
+        )
+        for _ in range(2)
+    ]
+    ev = MAPEvaluator(loc, size, bn_warmup=2)
+    calls = []
+    real_warm = ev._warm
+    ev._warm = lambda st, imgs: calls.append(1) or real_warm(st, imgs)
+    seen_stats = []
+    real_step = ev._eval_step
+    def spy_step(st, imgs):
+        seen_stats.append(st.batch_stats)
+        return real_step(st, imgs)
+    ev._eval_step = spy_step
+    warmed = ev(state, iter(batches))
+    assert len(calls) == 2  # warm ran once per warmup batch
+    # the eval forward ran with re-estimated (not snapshot) stats
+    def a_stat(tree):
+        return np.asarray(
+            jax.tree_util.tree_leaves(tree)[0]
+        )
+    assert not np.array_equal(
+        a_stat(seen_stats[0]), a_stat(state.batch_stats)
+    )
+    plain = MAPEvaluator(loc, size)(state, iter(batches))
+    assert set(plain) == set(warmed)
