@@ -79,6 +79,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="on-device flip/photometric augmentation of the "
                    "assessor's labeled crops (IoU-label preserving; "
                    "data/device_augment.py)")
+    p.add_argument("--synthetic-cache", default=None, metavar="DIR",
+                   help="disk-cache pre-generated synthetic datasets in "
+                   "DIR keyed by their full config (a 32k assessor pool "
+                   "costs 10-15 min of host generation per run otherwise)")
     p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
                    help="share ONE procedural asset world (N stamps + N "
                    "backgrounds) across the synthetic train/reference/val "
@@ -170,35 +174,59 @@ def build_datasets(args):
         asset_kw = dict(
             asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
         )
+    cache = getattr(args, "synthetic_cache", None)
     if _is_synthetic(args.train_file):
-        train = SyntheticLocalizerDataset(
-            _synthetic_n(args.train_file, 512), image_size=img,
-            seed=args.seed, output_dtype="uint8", **asset_kw,
+        from loans_tpu.data.synthetic import cached_synthetic
+
+        n_train = _synthetic_n(args.train_file, 512)
+        train = cached_synthetic(
+            cache, "scenes",
+            lambda items: SyntheticLocalizerDataset(
+                n_train, image_size=img, seed=args.seed,
+                output_dtype="uint8", items=items, **asset_kw,
+            ),
+            n=n_train, image_size=list(img), seed=args.seed,
+            labeled=False, **{k: str(v) for k, v in asset_kw.items()},
         )
     else:
         train = ImageDataset(
             args.train_file, image_size=img, seed=args.seed
         )
     if _is_synthetic(args.reference_file):
-        reference = SyntheticAssessorDataset(
-            _synthetic_n(args.reference_file, 1024),
-            output_size=crop,
-            image_size=img,
-            seed=args.seed + 1,
-            output_dtype="uint8",
-            crop_pipeline=getattr(args, "assessor_pipeline", "pil"),
-            low_iou_fraction=args.assessor_low_iou,
-            **asset_kw,
+        from loans_tpu.data.synthetic import cached_synthetic
+
+        n_ref_total = _synthetic_n(args.reference_file, 1024)
+        pipeline = getattr(args, "assessor_pipeline", "pil")
+        reference = cached_synthetic(
+            cache, "crops",
+            lambda items: SyntheticAssessorDataset(
+                n_ref_total, output_size=crop, image_size=img,
+                seed=args.seed + 1, output_dtype="uint8",
+                crop_pipeline=pipeline,
+                low_iou_fraction=args.assessor_low_iou,
+                items=items, **asset_kw,
+            ),
+            n=n_ref_total, crop=list(crop), image_size=list(img),
+            seed=args.seed + 1, pipeline=pipeline,
+            low_iou=args.assessor_low_iou,
+            **{k: str(v) for k, v in asset_kw.items()},
         )
     else:
         reference = LabeledImageDataset(
             read_labeled_csv(args.reference_file), image_size=crop
         )
     if _is_synthetic(args.val_file):
-        val = SyntheticLocalizerDataset(
-            _synthetic_n(args.val_file, 64), image_size=img,
-            seed=args.seed + 2, labeled=True, output_dtype="uint8",
-            **asset_kw,
+        from loans_tpu.data.synthetic import cached_synthetic
+
+        n_val = _synthetic_n(args.val_file, 64)
+        val = cached_synthetic(
+            cache, "scenes",
+            lambda items: SyntheticLocalizerDataset(
+                n_val, image_size=img, seed=args.seed + 2, labeled=True,
+                output_dtype="uint8", items=items, **asset_kw,
+            ),
+            n=n_val, image_size=list(img), seed=args.seed + 2,
+            labeled=True, **{k: str(v) for k, v in asset_kw.items()},
         )
     else:
         val = LabeledImageDataset(args.val_file, image_size=img)

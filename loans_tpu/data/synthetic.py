@@ -363,6 +363,44 @@ def _parallel_generate(base: PasteAndCropGenerator, n: int, seed, fn):
     return [item for part in parts for item in part]
 
 
+def _cache_key(kind: str, **kw) -> str:
+    import hashlib
+    import json
+
+    blob = json.dumps({"kind": kind, **kw}, sort_keys=True)
+    return f"{kind}-{hashlib.sha1(blob.encode()).hexdigest()[:16]}.npz"
+
+
+def cached_synthetic(cache_dir: str | None, kind: str, build, **kw):
+    """Disk-cache the pre-generated arrays of a synthetic dataset.
+
+    Generating a 32k-crop assessor pool costs ~10-15 min of host CPU
+    and is fully determined by its configuration — every run with the
+    same (seed, asset world, sizes, fractions) regenerates identical
+    data. ``build(items=None)`` constructs the dataset; on a cache hit
+    it is called with the stored items and must skip generation.
+    ``cache_dir=None`` disables caching. ``kw`` must contain every
+    config value the data depends on — it IS the cache key.
+    """
+    if not cache_dir:
+        return build(items=None)
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, _cache_key(kind, **kw))
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            cols = [list(z[f"col{i}"]) for i in range(int(z["ncols"]))]
+        return build(items=list(zip(*cols)))
+    ds = build(items=None)
+    cols = list(zip(*ds.items))
+    arrays = {"ncols": np.asarray(len(cols))}
+    for i, col in enumerate(cols):
+        arrays[f"col{i}"] = np.stack([np.asarray(v) for v in col])
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+    return ds
+
+
 class SyntheticAssessorDataset:
     """Fixed-size dataset of pre-generated (crop, iou) pairs.
 
@@ -381,8 +419,12 @@ class SyntheticAssessorDataset:
 
     def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
                  output_dtype="float32", crop_pipeline="pil",
-                 asset_seed=None, n_assets=16, low_iou_fraction=0.0):
+                 asset_seed=None, n_assets=16, low_iou_fraction=0.0,
+                 items=None):
         self.output_dtype = output_dtype
+        if items is not None:  # pre-generated (cached_synthetic)
+            self.items = items
+            return
         gen = PasteAndCropGenerator(
             image_size=image_size,
             output_size=(output_size[1], output_size[0]),
@@ -464,13 +506,17 @@ class SyntheticLocalizerDataset:
     """Fixed-size dataset of full scenes (+ gt boxes when labeled)."""
 
     def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False,
-                 output_dtype="float32", asset_seed=None, n_assets=16):
+                 output_dtype="float32", asset_seed=None, n_assets=16,
+                 items=None):
+        self.labeled = labeled
+        self.output_dtype = output_dtype
+        if items is not None:  # pre-generated (cached_synthetic)
+            self.items = items
+            return
         gen = PasteAndCropGenerator(
             image_size=image_size, seed=seed,
             asset_seed=asset_seed, n_procedural=n_assets,
         )
-        self.labeled = labeled
-        self.output_dtype = output_dtype
         self.items = _parallel_generate(
             gen, n, seed, lambda g: g.scene_with_bbox()
         )

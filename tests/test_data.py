@@ -277,3 +277,33 @@ def test_low_iou_crop_coverage():
     fixed = PasteAndCropGenerator(seed=0)
     ious_fixed = np.asarray([fixed.sample()[1] for _ in range(300)])
     assert (ious_fixed == 0.0).mean() < 0.01
+
+
+def test_cached_synthetic_roundtrip(tmp_path):
+    import numpy as np
+    from loans_tpu.data.synthetic import (
+        SyntheticAssessorDataset,
+        cached_synthetic,
+    )
+
+    def build(items=None):
+        return SyntheticAssessorDataset(
+            8, output_size=(8, 8), image_size=(32, 32), seed=3,
+            output_dtype="uint8", items=items,
+        )
+
+    cache = str(tmp_path)
+    a = cached_synthetic(cache, "crops", build, n=8, seed=3)
+    import os
+    files = os.listdir(cache)
+    assert len(files) == 1
+    b = cached_synthetic(cache, "crops", build, n=8, seed=3)
+    assert len(os.listdir(cache)) == 1  # hit, not regenerated
+    for i in range(8):
+        ia, la = a.get_example(i)
+        ib, lb = b.get_example(i)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+    # different key -> separate entry
+    cached_synthetic(cache, "crops", build, n=8, seed=4)
+    assert len(os.listdir(cache)) == 2
