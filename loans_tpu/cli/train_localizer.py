@@ -508,7 +508,9 @@ def main(argv=None):
     # -- iterations --------------------------------------------------------
     iterations = args.iterations
     if args.epochs:
-        iterations = args.epochs * len(train_loader)
+        # steps per epoch from the dataset itself - the device-data path
+        # has no host loader
+        iterations = args.epochs * (len(train_ds) // args.batch_size)
 
     step_config = AlternatingConfig(
         localizer_target=args.localizer_target,

@@ -99,6 +99,7 @@ class _SyntheticSSDAdapter:
 
         self.scenes = SyntheticLocalizerDataset(
             n, image_size=(size, size), seed=seed, labeled=True,
+            output_dtype="uint8",  # 1/4 the HBM of float32 as a pool
             **(asset_kw or {}),
         )
         self.transform = SSDTransform(coder, size, seed=seed, augment=augment)
@@ -295,7 +296,7 @@ def main(argv=None):
     )
     evaluator = SSDEvaluator(model, coder, max_batches=args.eval_batches)
 
-    last_eval = [-1]
+    last_eval = [0]  # bucket 0 = before the first --eval-interval point
 
     def eval_fn(trainer, iteration):
         if not args.eval_interval:

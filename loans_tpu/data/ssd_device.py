@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from loans_tpu.data.device_augment import photometric as _photometric
 from loans_tpu.ops.geometry import Size, box_to_theta
 from loans_tpu.ops.stn import sample_separable
 
@@ -120,22 +121,6 @@ def encode_batch(
     return jax.vmap(one)(boxes, valid, labels)
 
 
-def _photometric(rng, images):
-    """Brightness/contrast/saturation jitter (label-free), [0,1] clip.
-
-    The photometric half of ``device_augment.augment_crops`` — SSD
-    flips separately because the flip must update the boxes."""
-    k_b, k_c, k_s = jax.random.split(rng, 3)
-    n = images.shape[0]
-    brightness = jax.random.uniform(k_b, (n, 1, 1, 1), minval=-0.12, maxval=0.12)
-    contrast = jax.random.uniform(k_c, (n, 1, 1, 1), minval=0.8, maxval=1.25)
-    mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
-    images = (images - mean) * contrast + mean + brightness
-    sat = jax.random.uniform(k_s, (n, 1, 1, 1), minval=0.7, maxval=1.3)
-    gray = jnp.mean(images, axis=-1, keepdims=True)
-    images = gray + (images - gray) * sat
-    return jnp.clip(images, 0.0, 1.0)
-
 
 def ssd_augment_batch(
     rng: jax.Array,
@@ -164,7 +149,7 @@ def ssd_augment_batch(
     keys = jax.random.split(rng, 8)
     (k_photo, k_expand, k_scale, k_ar, k_pos, k_con, k_flip, k_ratio) = keys
 
-    scenes = _photometric(k_photo, scenes)
+    scenes = _photometric(k_photo, scenes)  # flip handled below (boxes)
 
     # -- candidate windows -------------------------------------------------
     expand = jax.random.bernoulli(k_expand, 0.5, (n, v))
@@ -217,8 +202,10 @@ def ssd_augment_batch(
     images = crop[..., :3] + (1.0 - coverage) * mean
 
     # -- transform boxes ---------------------------------------------------
-    sy = out_size / (wy1 - wy0)
-    sx = out_size / (wx1 - wx0)
+    # match the renderer's align-corners pixel map (box_to_theta):
+    # source wy0 -> output 0, wy0 + (ch-1) -> output out-1
+    sy = (out_size - 1) / jnp.maximum(wy1 - wy0 - 1.0, 1e-3)
+    sx = (out_size - 1) / jnp.maximum(wx1 - wx0 - 1.0, 1e-3)
     by0 = (boxes[..., 0] - wy0[:, None]) * sy[:, None]
     bx0 = (boxes[..., 1] - wx0[:, None]) * sx[:, None]
     by1 = (boxes[..., 2] - wy0[:, None]) * sy[:, None]
@@ -289,6 +276,7 @@ def ssd_pooled_body(model, coder, out_size: int, alpha=1.0, k=3, augment=True):
             default_yxyx,
             boxes / out_size,
             valid,
+            variance=coder.variance,
             iou_thresh=coder.iou_thresh,
         )
 

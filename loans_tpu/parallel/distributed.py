@@ -35,8 +35,11 @@ def initialize_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:
-        # idempotent: fine if the runtime is already up
-        if "already" in str(e).lower():
+        # idempotent: fine if the runtime is already up. jax 0.9 raises
+        # "distributed.initialize should only be called once." (and
+        # older versions "...already initialized").
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return
         if explicit:
             raise

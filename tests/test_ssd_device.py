@@ -105,6 +105,22 @@ def test_augment_box_follows_pixels():
             f"sample {i}: box does not cover the bright stamp "
             f"(inside {inside:.3f} vs overall {overall:.3f})"
         )
+        # alignment: the transformed box must land on the rendered
+        # bright-pixel extent to ~1.5 px (catches renderer/box-map
+        # convention mismatches like out/(w) vs (out-1)/(w-1))
+        bright = images[i].mean(axis=-1) > 0.5
+        if bright.any() and y1 - y0 > 4 and x1 - x0 > 4:
+            yy, xx = np.where(bright)
+            # only check edges that are strictly inside the frame
+            # (clipped edges legitimately cut the stamp)
+            if y0 > 1:
+                assert abs(yy.min() - y0) <= 1.5, (i, yy.min(), y0)
+            if x0 > 1:
+                assert abs(xx.min() - x0) <= 1.5, (i, xx.min(), x0)
+            if y1 < out - 1:
+                assert abs(yy.max() + 1 - y1) <= 1.5, (i, yy.max(), y1)
+            if x1 < out - 1:
+                assert abs(xx.max() + 1 - x1) <= 1.5, (i, xx.max(), x1)
 
 
 def test_augment_deterministic_per_key():

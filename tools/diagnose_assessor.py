@@ -31,14 +31,12 @@ from PIL import Image
 
 def crop_theta(box, img_h, img_w):
     """Affine theta whose axis-aligned STN crop equals pixel box
-    (x1, y1, x2, y2) — inverse of ``ops/geometry.corners_to_aabb``."""
-    x1, y1, x2, y2 = box
-    sx = (x2 - x1 - 1) / max(img_w - 1, 1)
-    sy = (y2 - y1 - 1) / max(img_h - 1, 1)
-    tx = (x1 + x2 - 1) / max(img_w - 1, 1) - 1.0
-    ty = (y1 + y2 - 1) / max(img_h - 1, 1) - 1.0
-    return np.array(
-        [[sx, 0.0, tx], [0.0, sy, ty]], dtype=np.float32
+    (x1, y1, x2, y2) — the production operator, so the diagnostic
+    measures exactly what the localizer applies."""
+    from loans_tpu.ops.geometry import Size, box_to_theta
+
+    return np.asarray(
+        box_to_theta(np.asarray(box, dtype=np.float32), Size(img_h, img_w))
     )
 
 
