@@ -45,7 +45,7 @@ def test_two_process_distributed_train_step():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=570)
+        out, err = p.communicate(timeout=1500)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert lines, f"no RESULT line:\n{out}\n{err}"
