@@ -39,7 +39,8 @@ POOL_SCENES = 512
 POOL_CROPS = 1024
 
 
-def main():
+def measure(batch):
+    """Images/sec/chip of the pooled scanned alternating step at ``batch``."""
     from loans_tpu.models import Localizer, ResnetAssessor
     from loans_tpu.ops import Size
     from loans_tpu.parallel import create_mesh, replicate
@@ -94,7 +95,7 @@ def main():
         },
     }
     chunks = device_chunk_batches(
-        mesh, groups, BATCH, STEPS_PER_CALL, seed=0
+        mesh, groups, batch, STEPS_PER_CALL, seed=0
     )
 
     step = make_pooled_train_step(
@@ -119,8 +120,16 @@ def main():
     dt = time.perf_counter() - t0
 
     n_dev = len(jax.devices())
-    images_per_sec = BATCH * STEPS_PER_CALL * CALLS / dt
-    per_chip = images_per_sec / n_dev
+    images_per_sec = batch * STEPS_PER_CALL * CALLS / dt
+    return images_per_sec / n_dev
+
+
+def main():
+    per_chip = measure(BATCH)
+    # ride-along: the reference README's suggested batch
+    # (train_sheep_localizer.py:58, README.md:157) so the headline number
+    # is always anchored to the reference operating point too
+    per_chip_64 = measure(64)
     print(
         json.dumps(
             {
@@ -128,6 +137,8 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+                "batch": BATCH,
+                "batch64_images_per_sec_per_chip": round(per_chip_64, 2),
             }
         )
     )

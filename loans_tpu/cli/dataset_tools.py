@@ -41,6 +41,7 @@ def cmd_paste_and_crop(args):
         zoom_mode=not args.no_zoom,
         seed=args.seed,
         low_iou_fraction=args.low_iou,
+        base_bboxes=args.base_bboxes,
     )
     print(f"wrote {out}")
 
@@ -271,6 +272,10 @@ def get_parser():
     s.add_argument("--output-size", type=int, nargs=2, default=[75, 75])
     s.add_argument("--no-zoom", action="store_true")
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--base-bboxes", default=None, metavar="JSON",
+                   help="bbox-annotation json; stamps are resized to the "
+                   "real gt box-size distribution "
+                   "(paste_and_crop_sheep.py:111,157-175)")
     s.set_defaults(fn=cmd_paste_and_crop)
 
     s = sub.add_parser("extract_frames", help="video -> frame PNGs + gt.csv")

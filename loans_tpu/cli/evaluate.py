@@ -42,6 +42,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-assets", type=int, default=0, metavar="N",
                    help="shared procedural asset world: N assets "
                    "(0 = legacy per-dataset assets)")
+    p.add_argument("--benchmark", choices=["default", "hard"],
+                   default="default",
+                   help="synthetic world difficulty (must match the train "
+                   "run's --benchmark): 'hard' adds distractor stamps, "
+                   "cluttered backgrounds, wider scales")
     p.add_argument("--asset-seed", type=int, default=None,
                    help="asset-world seed; a train run with seed S and "
                    "--synthetic-assets used S + 9973 (default: --seed - 2 "
@@ -77,6 +82,8 @@ def main(argv=None):
                 asset_seed=seed,
                 n_assets=args.synthetic_assets,
             )
+        if args.benchmark == "hard":
+            asset_kw["hard"] = True
         ds = SyntheticLocalizerDataset(
             _synthetic_n(args.gt, 64),
             image_size=tuple(size),

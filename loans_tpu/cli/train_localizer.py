@@ -90,6 +90,18 @@ def get_parser() -> argparse.ArgumentParser:
                    "reference's paste_and_crop templates are the same "
                    "object class as its unlabeled frames. 0 = legacy "
                    "per-dataset assets (16 each)")
+    p.add_argument("--benchmark", choices=["default", "hard"],
+                   default="default",
+                   help="synthetic world difficulty: 'hard' adds unlabeled "
+                   "wrong-class distractor stamps, cluttered high-frequency "
+                   "backgrounds, and wider stamp scale ranges "
+                   "(data/synthetic.py) - the reference proves itself on "
+                   "real photos with clutter; the default benchmark has one "
+                   "salient object on a muted field")
+    p.add_argument("--base-bboxes", default=None, metavar="JSON",
+                   help="bbox-annotation json; pasted stamps are resized to "
+                   "the real gt box-size distribution instead of uniform "
+                   "draws (paste_and_crop_sheep.py:111,157-175)")
     p.add_argument("--assessor-pipeline", choices=["pil", "stn"],
                    default="pil",
                    help="how synthetic assessor crops are rendered: PIL "
@@ -174,6 +186,12 @@ def build_datasets(args):
         asset_kw = dict(
             asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
         )
+    if getattr(args, "benchmark", "default") == "hard":
+        asset_kw["hard"] = True
+    if getattr(args, "base_bboxes", None):
+        from loans_tpu.data.synthetic import load_base_bbox_sizes
+
+        asset_kw["base_bboxes"] = load_base_bbox_sizes(args.base_bboxes)
     cache = getattr(args, "synthetic_cache", None)
     if _is_synthetic(args.train_file):
         from loans_tpu.data.synthetic import cached_synthetic

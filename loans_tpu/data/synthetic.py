@@ -69,6 +69,107 @@ def make_procedural_stamp(
     return img
 
 
+def make_procedural_distractor(
+    rng: random.Random, size: int = 64
+) -> Image.Image:
+    """Wrong-class stamp: saturated ring/bar/triangle shapes.
+
+    A disjoint shape family from :func:`make_procedural_stamp`'s blob
+    class — pasted into hard-benchmark scenes but never labeled, so a
+    detector that keys on "any saturated thing on a muted field" is
+    penalized (the reference proves itself on real photos where sheep
+    share the frame with rocks, fences, and people; the default
+    benchmark has exactly one salient object per scene).
+    """
+    arr = np.zeros((size, size, 4), dtype=np.uint8)
+    color = [rng.randint(60, 255) for _ in range(3)]
+    yy, xx = np.mgrid[0:size, 0:size]
+    cy, cx = rng.randint(size // 3, 2 * size // 3), rng.randint(
+        size // 3, 2 * size // 3
+    )
+    kind = rng.choice(["ring", "bar", "tri"])
+    if kind == "ring":
+        r_out = rng.randint(size // 4, size // 2 - 2)
+        r_in = rng.randint(r_out // 2, max(r_out - 3, r_out // 2 + 1))
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        mask = (d2 <= r_out**2) & (d2 >= r_in**2)
+    elif kind == "bar":
+        ang = rng.random() * np.pi
+        thick = rng.randint(size // 10, size // 4)
+        half_len = rng.randint(size // 3, size // 2)
+        u = (xx - cx) * np.cos(ang) + (yy - cy) * np.sin(ang)
+        v = -(xx - cx) * np.sin(ang) + (yy - cy) * np.cos(ang)
+        mask = (np.abs(v) <= thick / 2) & (np.abs(u) <= half_len)
+    else:  # triangle: intersection of three half-planes around (cy, cx)
+        r = rng.randint(size // 3, size // 2 - 1)
+        angles = sorted(rng.random() * 2 * np.pi for _ in range(3))
+        pts = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a in angles]
+        mask = np.ones((size, size), dtype=bool)
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+            # keep the side of edge (p0->p1) containing the centroid
+            gx = sum(p[0] for p in pts) / 3 - x0
+            gy = sum(p[1] for p in pts) / 3 - y0
+            ex, ey = x1 - x0, y1 - y0
+            side = ex * (yy - y0) - ey * (xx - x0)
+            mask &= (side * (ex * gy - ey * gx)) >= 0
+    for c in range(3):
+        arr[..., c] = color[c]
+    arr[..., 3] = mask.astype(np.uint8) * 255
+    return Image.fromarray(arr, "RGBA")
+
+
+def make_hard_background(
+    rng: random.Random, size: tuple[int, int] = (256, 256)
+) -> Image.Image:
+    """Cluttered high-frequency background (hard benchmark).
+
+    Full-value-range colored noise at stamp-ish spatial frequency plus a
+    fine speckle layer — restores the visual clutter the default muted
+    background deliberately removes (RESULTS.md round 1: full-spectrum
+    backgrounds made the task adversarial and were toned down; the hard
+    benchmark brings a controlled amount of that back).
+    """
+    w, h = size
+    nprng = np.random.default_rng(rng.randrange(2**31))
+    coarse = nprng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    # partially desaturate so stamps remain findable, but keep far more
+    # chroma + value range than the default background
+    mean = coarse.mean(axis=-1, keepdims=True)
+    coarse = (0.3 * mean + 0.7 * coarse).astype(np.uint8)
+    img = np.asarray(
+        Image.fromarray(coarse, "RGB").resize((w, h), Image.BILINEAR),
+        dtype=np.float32,
+    )
+    speckle = nprng.normal(0.0, 28.0, size=(h, w, 1)).astype(np.float32)
+    img = np.clip(img + speckle, 0, 255).astype(np.uint8)
+    return Image.fromarray(img, "RGB").convert("RGBA")
+
+
+def load_base_bbox_sizes(path: str) -> list[tuple[int, int]]:
+    """(w, h) sizes of every valid gt box in a bbox-annotation JSON.
+
+    Port of ``paste_and_crop_sheep.py:157-175`` (``--base-bboxes``):
+    stamps are resized to sizes that naturally occur in a real dataset
+    instead of uniform draws. The JSON is the repo's bbox format — a
+    list of ``{"image": ..., "bounding_boxes": [[y1, x1, y2, x2], ...]}``.
+    Degenerate boxes are dropped; duplicates collapse (reference uses a
+    set).
+    """
+    import json
+
+    with open(path) as handle:
+        data = json.load(handle)
+    sizes = set()
+    for item in data:
+        for box in item.get("bounding_boxes", []):
+            w, h = box[3] - box[1], box[2] - box[0]
+            if w > 0 and h > 0:
+                sizes.add((int(w), int(h)))
+    if not sizes:
+        raise ValueError(f"no valid bounding boxes in {path}")
+    return sorted(sizes)
+
+
 def make_procedural_background(
     rng: random.Random, size: tuple[int, int] = (256, 256)
 ) -> Image.Image:
@@ -159,6 +260,8 @@ class PasteAndCropGenerator:
         n_procedural: int = 16,
         asset_seed: int | None = None,
         low_iou_fraction: float = 0.0,
+        hard: bool = False,
+        base_bboxes: list[tuple[int, int]] | None = None,
     ):
         """``asset_seed`` decouples the procedural stamp/background
         *assets* from the sampling stream: generators with the same
@@ -173,12 +276,21 @@ class PasteAndCropGenerator:
         asset_rng = (
             random.Random(asset_seed) if asset_seed is not None else self.rng
         )
+        self.hard = hard
+        self.base_bboxes = base_bboxes
         self.stamps = stamps or [
             make_procedural_stamp(asset_rng) for _ in range(n_procedural)
         ]
+        make_bg = make_hard_background if hard else make_procedural_background
         self.backgrounds = backgrounds or [
-            make_procedural_background(asset_rng) for _ in range(n_procedural)
+            make_bg(asset_rng) for _ in range(n_procedural)
         ]
+        # wrong-class stamps, same asset world, never labeled (hard only)
+        self.distractors = (
+            [make_procedural_distractor(asset_rng) for _ in range(n_procedural)]
+            if hard
+            else []
+        )
         self.image_size = image_size
         self.low_iou_fraction = low_iou_fraction
         self.output_size = output_size
@@ -196,26 +308,66 @@ class PasteAndCropGenerator:
         return clone
 
     # -- compositing ------------------------------------------------------
+    def _stamp_size(self, background: Image.Image) -> tuple[int, int]:
+        """Target stamp size in resized-image pixels.
+
+        ``base_bboxes`` draws a real (w, h) and maps it through the
+        background->image resize factors (``paste_and_crop_sheep.py:
+        109-127``); otherwise a uniform draw — [w/15, w/2] like the
+        reference (:113-116), widened to [w/20, w/1.8] in hard mode.
+        """
+        rng = self.rng
+        w, h = self.image_size
+        if self.base_bboxes is not None:
+            bw, bh = rng.choice(self.base_bboxes)
+            fx = w / background.width
+            fy = h / background.height
+            sw = max(2, min(int(bw * fx), w))
+            sh = max(2, min(int(bh * fy), h))
+            return sw, sh
+        if self.hard:
+            return (
+                rng.randint(w // 20, int(w / 1.8)),
+                rng.randint(h // 20, int(h / 1.8)),
+            )
+        return rng.randint(w // 15, w // 2), rng.randint(h // 15, h // 2)
+
     def paste(self) -> PasteResult:
         rng = self.rng
-        image = rng.choice(self.backgrounds)
+        background = rng.choice(self.backgrounds)
         stamp = rng.choice(self.stamps)
         if rng.random() >= 0.5:
             stamp = stamp.transpose(Image.FLIP_LEFT_RIGHT)
-        image = image.resize(self.image_size, Image.LANCZOS)
         w, h = self.image_size
-        stamp = stamp.resize(
-            (rng.randint(w // 15, w // 2), rng.randint(h // 15, h // 2)),
-            Image.LANCZOS,
-        )
+        stamp = stamp.resize(self._stamp_size(background), Image.LANCZOS)
+        image = background.resize(self.image_size, Image.LANCZOS)
         paste_x = rng.randint(0, w - stamp.width)
         paste_y = rng.randint(0, h - stamp.height)
-        layer = Image.new("RGBA", image.size)
-        layer.paste(stamp, (paste_x, paste_y))
-        out = Image.alpha_composite(image, layer)
         bbox = np.array(
             [paste_x, paste_y, paste_x + stamp.width, paste_y + stamp.height]
         )
+        if self.distractors:
+            # wrong-class clutter UNDER the target (never occludes it);
+            # rejection keeps distractors from sitting on the gt box so
+            # the label stays unambiguous
+            layer = Image.new("RGBA", image.size)
+            for _ in range(rng.randint(1, 3)):
+                d = rng.choice(self.distractors)
+                d = d.resize(
+                    (rng.randint(w // 20, w // 2), rng.randint(h // 20, h // 2)),
+                    Image.LANCZOS,
+                )
+                for _ in range(10):
+                    dx = rng.randint(0, w - d.width)
+                    dy = rng.randint(0, h - d.height)
+                    dbox = [dx, dy, dx + d.width, dy + d.height]
+                    if _bbox_iou_xyxy(dbox, bbox) < 0.15:
+                        layer.paste(d, (dx, dy))
+                        break
+            image = Image.alpha_composite(image, layer)
+        layer = Image.new("RGBA", image.size)
+        layer.paste(stamp, (paste_x, paste_y))
+        out = Image.alpha_composite(image, layer)
         return PasteResult(out, bbox)
 
     # -- crops ------------------------------------------------------------
@@ -420,7 +572,7 @@ class SyntheticAssessorDataset:
     def __init__(self, n: int, output_size=(75, 75), image_size=(224, 224), seed=0,
                  output_dtype="float32", crop_pipeline="pil",
                  asset_seed=None, n_assets=16, low_iou_fraction=0.0,
-                 items=None):
+                 hard=False, base_bboxes=None, items=None):
         self.output_dtype = output_dtype
         if items is not None:  # pre-generated (cached_synthetic)
             self.items = items
@@ -432,6 +584,8 @@ class SyntheticAssessorDataset:
             asset_seed=asset_seed,
             n_procedural=n_assets,
             low_iou_fraction=low_iou_fraction,
+            hard=hard,
+            base_bboxes=base_bboxes,
         )
         if crop_pipeline == "stn":
             triples = _parallel_generate(
@@ -507,7 +661,7 @@ class SyntheticLocalizerDataset:
 
     def __init__(self, n: int, image_size=(224, 224), seed=0, labeled=False,
                  output_dtype="float32", asset_seed=None, n_assets=16,
-                 items=None):
+                 hard=False, base_bboxes=None, items=None):
         self.labeled = labeled
         self.output_dtype = output_dtype
         if items is not None:  # pre-generated (cached_synthetic)
@@ -516,6 +670,7 @@ class SyntheticLocalizerDataset:
         gen = PasteAndCropGenerator(
             image_size=image_size, seed=seed,
             asset_seed=asset_seed, n_procedural=n_assets,
+            hard=hard, base_bboxes=base_bboxes,
         )
         self.items = _parallel_generate(
             gen, n, seed, lambda g: g.scene_with_bbox()
@@ -546,9 +701,13 @@ def generate_dataset(
     zoom_mode: bool = True,
     seed: int = 0,
     low_iou_fraction: float = 0.0,
+    base_bboxes: str | None = None,
 ):
     """Offline tool parity: write ``images/<i>.png`` + tab-separated
-    ``images.csv`` with IoU labels (``paste_and_crop_sheep.py:178-228``)."""
+    ``images.csv`` with IoU labels (``paste_and_crop_sheep.py:178-228``).
+
+    ``base_bboxes``: path to a bbox-annotation JSON; stamps are resized
+    to the real gt-box size distribution (:111,157-175)."""
     stamp_imgs = (
         [Image.open(s).convert("RGBA") for s in stamps] if stamps else None
     )
@@ -565,6 +724,9 @@ def generate_dataset(
         output_size=tuple(output_size),
         seed=seed,
         low_iou_fraction=low_iou_fraction,
+        base_bboxes=(
+            load_base_bbox_sizes(base_bboxes) if base_bboxes else None
+        ),
     )
     img_dir = os.path.join(destination, "images")
     os.makedirs(img_dir, exist_ok=True)

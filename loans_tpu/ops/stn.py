@@ -204,38 +204,12 @@ def sample_separable(
     return out.astype(images.dtype)
 
 
-def sample_rotated_dense(
-    images: jax.Array, theta: jax.Array, out_size: Size
+def _rotated_dense_fwd_impl(
+    images: jax.Array, theta: jax.Array, h_out: int, w_out: int
 ) -> jax.Array:
-    """General-affine bilinear crop as dense per-row MXU contractions.
-
-    Replaces the gather path (``sample_grid``) for rotated/sheared theta
-    with TPU-friendly dense math, *bit-exact in semantics*: for an
-    affine grid, both sampling coordinates vary linearly along an output
-    row, so direct bilinear sampling factors per row i as
-
-        out[i, j] = sum_y hat(py(i,j) - y) * (img[y, :] @ hat(px(i,j) - x))
-
-    i.e. one (H,W)x(W,w_out) matmul against a hat-weight matrix built
-    from iota, then a masked reduction over H. No gathers, no
-    scatter-adds in the backward (autodiff of matmuls). Exactly matches
-    ``sample_grid(images, affine_grid(theta))`` including zero padding
-    (hat weights taper to zero over the one-pixel border).
-
-    Reference op being replaced: ``F.spatial_transformer_sampler``
-    (``sheep/sheep_localizer.py:63``) on the ``rotation_dropout_ratio
-    > 0`` path where theta has nonzero off-diagonals.
-
-    Args:
-      images: (N, H, W, C).
-      theta: (N, 2, 3) arbitrary affine params.
-      out_size: crop size.
-
-    Returns:
-      (N, H_out, W_out, C) crops.
-    """
+    """Forward scan of the dense rotated sampler (see
+    ``sample_rotated_dense``)."""
     n, h, w, c = images.shape
-    h_out, w_out = int(out_size.height), int(out_size.width)
     cdt = images.dtype
     t = theta.astype(jnp.float32)
     u = jnp.linspace(-1.0, 1.0, w_out, dtype=jnp.float32)  # (w_out,)
@@ -277,6 +251,171 @@ def sample_rotated_dense(
 
     _, rows = jax.lax.scan(row, None, v)  # (h_out, N, w_out, C)
     return rows.transpose(1, 0, 2, 3)
+
+
+def _rotated_dense_bwd_impl(images, theta, h_out, w_out, g):
+    """Analytic VJP of the dense rotated sampler — recompute, not store.
+
+    Autodiff of the forward scan stores the per-row hat-weight matrices
+    and the (N, H, C, w_out) intermediate as scan residuals (~1 GB/call
+    at the production shape — RESULTS.md round 2); this backward instead
+    *recomputes* the hats per row from (theta, g) and contracts:
+
+      d img[y, x]   = sum_i,j hatY_i[y, j] hatX_i[x, j] g[i, j]
+      d px[i, j]    = sum_c g[i, j, c] * (hatX' instead of hatX sample)
+      d py[i, j]    = sum_c g[i, j, c] * (hatY' instead of hatY sample)
+      d theta row 0 = (w-1)/2 * [sum gpx*u, sum gpx*v_i, sum gpx]
+      d theta row 1 = (h-1)/2 * [sum gpy*u, sum gpy*v_i, sum gpy]
+
+    with hat'(d) = -sign(d) on |d| < 1 (the bilinear subgradient autodiff
+    uses). Every contraction is a batched MXU matmul of the same shape as
+    the forward's; residual memory drops to (images, theta, g).
+    """
+    n, h, w, c = images.shape
+    cdt = images.dtype
+    t = theta.astype(jnp.float32)
+    u = jnp.linspace(-1.0, 1.0, w_out, dtype=jnp.float32)
+    v = jnp.linspace(-1.0, 1.0, h_out, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    g = g.astype(cdt)  # (N, h_out, w_out, C)
+
+    def hat_pair(p, idx):
+        """hat and hat' weight matrices: (N, in_dim, w_out)."""
+        d = p[:, None, :] - idx[None, :, None]
+        live = jnp.abs(d) < 1.0
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        dhat = jnp.where(live, -jnp.sign(d), 0.0)
+        return hat.astype(cdt), dhat.astype(cdt)
+
+    def row(dimg, row_in):
+        vi, gi = row_in  # gi: (N, w_out, C)
+        px = (
+            t[:, 0, 0, None] * u + t[:, 0, 1, None] * vi + t[:, 0, 2, None]
+            + 1.0
+        ) * (0.5 * (w - 1))
+        py = (
+            t[:, 1, 0, None] * u + t[:, 1, 1, None] * vi + t[:, 1, 2, None]
+            + 1.0
+        ) * (0.5 * (h - 1))
+        wxm, dwxm = hat_pair(px, xs)  # (N, W, w_out)
+        wym, dwym = hat_pair(py, ys)  # (N, H, w_out)
+
+        # recomputed forward intermediates (hatX and hatX' variants)
+        tmp = jax.lax.dot_general(
+            images, wxm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, H, C, w_out)
+        tmpd = jax.lax.dot_general(
+            images, dwxm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, H, C, w_out)
+        # gpx[n,j] = sum_c gi * sample(hatX', hatY); gpy with (hatX, hatY')
+        sx = jnp.einsum(
+            "nhj,nhcj->njc", wym, tmpd.astype(cdt),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sy = jnp.einsum(
+            "nhj,nhcj->njc", dwym, tmp.astype(cdt),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        gif = gi.astype(jnp.float32)
+        gpx = jnp.sum(gif * sx, axis=-1) * (0.5 * (w - 1))  # (N, w_out)
+        gpy = jnp.sum(gif * sy, axis=-1) * (0.5 * (h - 1))
+
+        # d images: A[n,h,j,c] = hatY * g ; dimg += A contract_j hatX
+        a = wym[:, :, :, None] * gi[:, None, :, :]  # (N, H, w_out, C)
+        dimg_row = jax.lax.dot_general(
+            a, wxm,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, H, C, W)
+        dimg = dimg + dimg_row.transpose(0, 1, 3, 2)
+
+        # d theta contributions from this row
+        dt = jnp.stack(
+            [
+                gpx @ u, jnp.sum(gpx, -1) * vi, jnp.sum(gpx, -1),
+                gpy @ u, jnp.sum(gpy, -1) * vi, jnp.sum(gpy, -1),
+            ],
+            axis=-1,
+        )  # (N, 6)
+        return dimg, dt
+
+    dimg0 = jnp.zeros((n, h, w, c), dtype=jnp.float32)
+    # g laid out rows-first for the scan: (h_out, N, w_out, C)
+    dimg, dts = jax.lax.scan(row, dimg0, (v, g.transpose(1, 0, 2, 3)))
+    dtheta = jnp.sum(dts, axis=0).reshape(n, 2, 3).astype(theta.dtype)
+    return dimg.astype(images.dtype), dtheta
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sample_rotated_dense(images, theta, h_out, w_out):
+    return _rotated_dense_fwd_impl(images, theta, h_out, w_out)
+
+
+def _rotated_dense_fwd(images, theta, h_out, w_out):
+    return (
+        _rotated_dense_fwd_impl(images, theta, h_out, w_out),
+        (images, theta),
+    )
+
+
+def _rotated_dense_bwd(h_out, w_out, residuals, g):
+    images, theta = residuals
+    return _rotated_dense_bwd_impl(images, theta, h_out, w_out, g)
+
+
+_sample_rotated_dense.defvjp(_rotated_dense_fwd, _rotated_dense_bwd)
+
+
+def sample_rotated_dense(
+    images: jax.Array, theta: jax.Array, out_size: Size
+) -> jax.Array:
+    """General-affine bilinear crop as dense per-row MXU contractions.
+
+    Replaces the gather path (``sample_grid``) for rotated/sheared theta
+    with TPU-friendly dense math, *bit-exact in semantics*: for an
+    affine grid, both sampling coordinates vary linearly along an output
+    row, so direct bilinear sampling factors per row i as
+
+        out[i, j] = sum_y hat(py(i,j) - y) * (img[y, :] @ hat(px(i,j) - x))
+
+    i.e. one (H,W)x(W,w_out) matmul against a hat-weight matrix built
+    from iota, then a masked reduction over H. No gathers, no
+    scatter-adds in the backward. Exactly matches
+    ``sample_grid(images, affine_grid(theta))`` including zero padding
+    (hat weights taper to zero over the one-pixel border).
+
+    The backward is a hand-written analytic VJP
+    (``_rotated_dense_bwd_impl``) that recomputes the hat weights per
+    row instead of storing them as scan residuals — autodiff of the
+    forward scan kept ~1 GB of per-row residuals at the production
+    shape, which made this path lose to the gather sampler end-to-end
+    (RESULTS.md round 2).
+
+    Reference op being replaced: ``F.spatial_transformer_sampler``
+    (``sheep/sheep_localizer.py:63``) on the ``rotation_dropout_ratio
+    > 0`` path where theta has nonzero off-diagonals.
+
+    Args:
+      images: (N, H, W, C).
+      theta: (N, 2, 3) arbitrary affine params.
+      out_size: crop size.
+
+    Returns:
+      (N, H_out, W_out, C) crops.
+    """
+    return _sample_rotated_dense(
+        images, theta, int(out_size.height), int(out_size.width)
+    )
 
 
 def _separable_kernel(theta_ref, img_ref, out_ref):

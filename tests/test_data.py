@@ -307,3 +307,78 @@ def test_cached_synthetic_roundtrip(tmp_path):
     # different key -> separate entry
     cached_synthetic(cache, "crops", build, n=8, seed=4)
     assert len(os.listdir(cache)) == 2
+
+
+def test_hard_benchmark_world():
+    """Hard mode: distractor clutter present, gt label still the target.
+
+    The target stamp is pasted LAST (never occluded) and distractors are
+    rejected near the gt box, so the (scene, bbox) label contract is
+    unchanged; the scene itself must differ from the default world.
+    """
+    kw = dict(seed=5, image_size=(96, 96), asset_seed=11, n_procedural=8)
+    easy = PasteAndCropGenerator(**kw)
+    hard = PasteAndCropGenerator(hard=True, **kw)
+    assert len(hard.distractors) == 8 and len(easy.distractors) == 0
+    img, bbox = hard.scene_with_bbox()
+    assert img.shape == (96, 96, 3)
+    y1, x1, y2, x2 = bbox
+    assert 0 <= y1 < y2 <= 96 and 0 <= x1 < x2 <= 96
+    # hard backgrounds are high-frequency: neighbor-pixel variation far
+    # above the default muted 8x8-upsampled background
+    hard_bg = np.asarray(hard.backgrounds[0].convert("RGB"), np.float32)
+    easy_bg = np.asarray(easy.backgrounds[0].convert("RGB"), np.float32)
+    hf = lambda a: np.abs(np.diff(a, axis=0)).mean()
+    assert hf(hard_bg) > 4 * hf(easy_bg)
+    # datasets accept the flag
+    ds = SyntheticLocalizerDataset(
+        2, image_size=(64, 64), labeled=True, hard=True, asset_seed=1,
+    )
+    img, bbox, _ = ds.get_example(0)
+    assert img.shape == (64, 64, 3)
+    crops = SyntheticAssessorDataset(
+        4, output_size=(16, 16), image_size=(64, 64), hard=True, asset_seed=1,
+    )
+    c, iou = crops.get_example(0)
+    assert c.shape == (16, 16, 3) and 0 <= float(iou[0]) <= 1
+
+
+def test_base_bboxes_sizes(tmp_path):
+    """--base-bboxes: stamps resized to the real gt size distribution
+    scaled by the background->image resize factors
+    (paste_and_crop_sheep.py:111,157-175)."""
+    import json
+
+    from loans_tpu.data.synthetic import load_base_bbox_sizes
+
+    path = tmp_path / "info.json"
+    data = [
+        {"image": "a.png", "bounding_boxes": [[10, 20, 74, 52], [0, 0, 0, 5]]},
+        {"image": "b.png", "bounding_boxes": [[5, 5, 37, 69]]},
+    ]
+    path.write_text(json.dumps(data))
+    sizes = load_base_bbox_sizes(str(path))
+    # (w, h); the degenerate zero-height box is dropped
+    assert sizes == [(32, 64), (64, 32)]
+
+    gen = PasteAndCropGenerator(
+        seed=0, image_size=(128, 128), base_bboxes=sizes
+    )
+    # backgrounds are 256x256 -> factor 0.5: pasted boxes must be one of
+    # the real sizes scaled by 0.5
+    want = {(16, 32), (32, 16)}
+    for _ in range(6):
+        scene = gen.paste()
+        x1, y1, x2, y2 = scene.paste_bbox
+        assert (x2 - x1, y2 - y1) in want
+
+
+def test_base_bboxes_empty_raises(tmp_path):
+    import json
+
+    from loans_tpu.data.synthetic import load_base_bbox_sizes
+
+    path = tmp_path / "empty.json"
+    path.write_text(json.dumps([{"image": "a", "bounding_boxes": []}]))
+    with pytest.raises(ValueError):
+        load_base_bbox_sizes(str(path))
