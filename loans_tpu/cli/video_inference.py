@@ -24,6 +24,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--score-threshold", type=float, default=0.3)
     p.add_argument("--visual-backprop", "-v", action="store_true")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--batch-size", "-b", type=int, default=8,
+                   help="frames per device dispatch; 1 = the reference's "
+                        "frame-at-a-time loop (video_sheeping.py:34-75)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable decode/compute overlap (for FPS A/B)")
     return p
 
 
@@ -68,35 +73,83 @@ def main(argv=None):
         else None
     )
 
-    n = 0
-    while True:
-        ok, frame = cap.read()
-        if not ok or (args.max_frames and n >= args.max_frames):
-            break
-        resized, scale = localizer.resize(frame)
-        boxes, rois, scores, heat = localizer.localize(
-            localizer.preprocess(resized, bgr_to_rgb=True)
-        )
-        vis = localizer.visualize_results(
-            frame, localizer.scale_boxes(boxes, scale), scores
-        )
-        writer.write(vis)
-        if vbp_writer is not None and heat is not None:
-            heat_bgr = cv2.resize(heat[..., ::-1], (w, h))
-            vbp_writer.write(
-                localizer.visualize_results(
-                    np.ascontiguousarray(heat_bgr),
-                    localizer.scale_boxes(boxes, scale),
-                    scores,
-                )
+    import time
+
+    def read_batch():
+        """Decode up to batch-size frames; returns ([], []) at EOF."""
+        frames, inputs = [], []
+        while len(frames) < max(args.batch_size, 1):
+            if args.max_frames and n_read[0] + len(frames) >= args.max_frames:
+                break
+            ok, frame = cap.read()
+            if not ok:
+                break
+            resized, _ = localizer.resize(frame)
+            frames.append(frame)
+            inputs.append(localizer.preprocess(resized, bgr_to_rgb=True))
+        return frames, inputs
+
+    def write_batch(frames, result):
+        boxes, _rois, scores, heats = result
+        for i, frame in enumerate(frames):
+            scale = (frame.shape[0] / localizer.input_size.height,
+                     frame.shape[1] / localizer.input_size.width)
+            scaled = localizer.scale_boxes(boxes[i], scale)
+            writer.write(
+                localizer.visualize_results(frame, scaled, scores[i : i + 1])
             )
-        n += 1
-        if n % 100 == 0:
-            print(f"{n} frames")
+            if vbp_writer is not None and heats is not None:
+                heat_bgr = cv2.resize(heats[i][..., ::-1], (w, h))
+                vbp_writer.write(
+                    localizer.visualize_results(
+                        np.ascontiguousarray(heat_bgr),
+                        scaled,
+                        scores[i : i + 1],
+                    )
+                )
+
+    n_read = [0]
+    n = 0
+    t0 = t_warm = None
+    pending = None  # (frames, un-fetched device result) — double buffer
+    while True:
+        frames, inputs = read_batch()
+        n_read[0] += len(frames)
+        if t0 is None:
+            t0 = time.time()
+        if frames and len(inputs) < max(args.batch_size, 1):
+            # pad the tail batch to the compiled shape; extra results are
+            # dropped in write_batch (frames list stays authoritative)
+            inputs = inputs + [inputs[-1]] * (
+                max(args.batch_size, 1) - len(inputs)
+            )
+        handle = (
+            localizer.localize_batch(inputs, sync=False) if frames else None
+        )
+        if args.no_pipeline and handle is not None:
+            # force the serial decode -> compute -> write schedule
+            import jax
+
+            jax.block_until_ready(handle)
+        if pending is not None:
+            pf, ph = pending
+            write_batch(pf, localizer.finish_batch(ph))
+            n += len(pf)
+            if t_warm is None:
+                t_warm = time.time()  # first batch done = compile excluded
+                n_warm = n
+            if n % 96 < len(pf):
+                print(f"{n} frames", flush=True)
+        if handle is None:
+            break
+        pending = (frames, handle)
     cap.release()
     writer.release()
     if vbp_writer is not None:
         vbp_writer.release()
+    if t_warm is not None and n > n_warm:
+        fps_sustained = (n - n_warm) / (time.time() - t_warm)
+        print(f"sustained fps (post-compile): {fps_sustained:.1f}")
     print(f"wrote {n} frames to {out_path}")
 
 

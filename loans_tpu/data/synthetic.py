@@ -332,10 +332,16 @@ class PasteAndCropGenerator:
             )
         return rng.randint(w // 15, w // 2), rng.randint(h // 15, h // 2)
 
-    def paste(self) -> PasteResult:
+    def paste(self, stamp_index: int | None = None) -> PasteResult:
+        """Composite one scene; ``stamp_index`` pins the stamp identity
+        (classifier pretraining labels scenes by stamp class)."""
         rng = self.rng
         background = rng.choice(self.backgrounds)
-        stamp = rng.choice(self.stamps)
+        stamp = (
+            self.stamps[stamp_index]
+            if stamp_index is not None
+            else rng.choice(self.stamps)
+        )
         if rng.random() >= 0.5:
             stamp = stamp.transpose(Image.FLIP_LEFT_RIGHT)
         w, h = self.image_size

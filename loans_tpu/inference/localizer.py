@@ -192,6 +192,38 @@ class LocalizerInference:
         )
         return boxes, rois, scores, heat_img
 
+    def localize_batch(self, images, sync: bool = True):
+        """Batched inference over a list/stack of preprocessed frames.
+
+        One jitted dispatch for the whole batch — through the device
+        tunnel this amortizes the per-call round-trip that makes
+        ``localize``'s frame-at-a-time loop latency-bound
+        (``video_sheeping.py:34-75`` runs frame-at-a-time; batching is
+        the TPU-native re-expression). With ``sync=False`` the
+        un-fetched device output is returned immediately (jax dispatch
+        is asynchronous), so the caller can decode the next batch while
+        this one computes; pass it to ``finish_batch`` to collect.
+        """
+        batch = jnp.asarray(
+            np.stack(images) if isinstance(images, (list, tuple)) else images
+        )
+        out = self._predict(self._variables, batch)
+        return out if not sync else self.finish_batch(out)
+
+    def finish_batch(self, out):
+        """Block on a ``localize_batch(sync=False)`` result; returns
+        (boxes (B,1,4), rois, scores (B,), heat_imgs list-or-None) with
+        the reference's assessor gating applied per frame."""
+        rois, boxes, scores, heat = jax.device_get(out)
+        if self.use_assessor:
+            gated = scores < self.score_threshold
+            boxes = np.where(gated[:, None], 0.0, boxes)
+            scores = np.where(gated, 0.0, scores)
+        heat_imgs = (
+            [heatmap_to_rgb(h) for h in heat] if heat is not None else None
+        )
+        return boxes[:, None, :], rois, scores, heat_imgs
+
     def scale_boxes(self, boxes: np.ndarray, scale) -> np.ndarray:
         sy, sx = scale
         return np.asarray(boxes, dtype=np.float64) * np.array(

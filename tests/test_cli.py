@@ -86,6 +86,33 @@ def test_inference_wrapper(trained_log_dir):
     assert out.shape == frame.shape
 
 
+def test_localize_batch_matches_single(trained_log_dir):
+    """localize_batch is the TPU-native re-expression of the reference's
+    frame-at-a-time video loop (video_sheeping.py:34-75) — same results,
+    one dispatch."""
+    from loans_tpu.inference import LocalizerInference
+
+    loc = LocalizerInference(
+        trained_log_dir, use_assessor=True, use_visual_backprop=True
+    )
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.uniform(size=(32, 32, 3)).astype(np.float32) for _ in range(3)
+    ]
+    singles = [loc.localize(im) for im in imgs]
+    boxes, rois, scores, heats = loc.localize_batch(imgs)
+    assert boxes.shape == (3, 1, 4) and scores.shape == (3,)
+    for i, (sb, _sr, ss, sh) in enumerate(singles):
+        np.testing.assert_allclose(boxes[i], sb, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(scores[i], ss, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(heats[i], sh)
+    # async form: handle then finish
+    handle = loc.localize_batch(imgs, sync=False)
+    boxes2, _, scores2, _ = loc.finish_batch(handle)
+    np.testing.assert_array_equal(boxes2, boxes)
+    np.testing.assert_array_equal(scores2, scores)
+
+
 def test_async_localizer(trained_log_dir):
     from loans_tpu.inference import AsynchronousLocalizer, LocalizerInference
 
