@@ -158,6 +158,79 @@ def cmd_strip_params(args):
     print(f"wrote {args.output} (stripped {args.prefixes})")
 
 
+def cmd_average_snapshots(args):
+    """Average the weights of several training snapshots (SWA).
+
+    Post-takeoff snapshots of the weakly-supervised run bounce around a
+    ±0.05 mAP band (RESULTS.md round-3: Run D 0.83–0.90 across
+    14k–20k), so single-best-snapshot selection rides eval noise.
+    Averaging the last-K snapshots' params (Izmailov et al., SWA) is a
+    zero-training-cost variance killer; BatchNorm statistics must be
+    re-estimated afterwards, which the evaluator's ``--bn-warmup``
+    already does. The averaged snapshot is written back into the log
+    dir under the next iteration number so the resumable eval sweep
+    (``evaluate.py``) picks it up incrementally. The reference has no
+    equivalent (its snapshot tools are convert/strip only) — this is a
+    beyond-parity addition.
+    """
+    import numpy as np
+    from flax import serialization
+
+    from loans_tpu.train import checkpoint
+
+    snaps = checkpoint.list_snapshots(args.log_dir, args.prefix)
+    snaps = [
+        (it, p)
+        for it, p in snaps
+        if it >= args.min_iteration
+        and (args.max_iteration is None or it <= args.max_iteration)
+    ]
+    if len(snaps) < 2:
+        raise SystemExit(
+            f"need >=2 snapshots with prefix {args.prefix!r} in "
+            f"[{args.min_iteration}, {args.max_iteration}], "
+            f"found {len(snaps)}"
+        )
+
+    def tree_add(acc, tree):
+        if isinstance(tree, dict):
+            return {k: tree_add(acc[k] if acc else None, v)
+                    for k, v in tree.items()}
+        v = np.asarray(tree, dtype=np.float64)
+        return v if acc is None else acc + v
+
+    def tree_div(acc, tree, n):
+        if isinstance(tree, dict):
+            return {k: tree_div(acc[k], tree[k], n) for k, v in tree.items()}
+        return (acc / n).astype(np.asarray(tree).dtype)
+
+    acc_p = acc_s = None
+    raw = None
+    for it, path in snaps:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        acc_p = tree_add(acc_p, raw.get("params", {}))
+        acc_s = tree_add(acc_s, raw.get("batch_stats", {}))
+    n = len(snaps)
+    # keep the LAST snapshot's step/opt_state so shape-strict
+    # restore_state() still works on the averaged file
+    raw["params"] = tree_div(acc_p, raw.get("params", {}), n)
+    raw["batch_stats"] = tree_div(acc_s, raw.get("batch_stats", {}), n)
+
+    out_iter = args.out_iteration or snaps[-1][0] + 1
+    out = args.output or os.path.join(
+        args.log_dir, f"{args.prefix}{out_iter}.msgpack"
+    )
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(raw))
+    os.replace(tmp, out)
+    print(
+        f"wrote SWA of {n} snapshots "
+        f"({snaps[0][0]}..{snaps[-1][0]}) -> {out}"
+    )
+
+
 def cmd_plot_log(args):
     """Plot train/eval metric curves from a training log
     (``train_utils/plotting.py`` ``LogPlotter``)."""
@@ -308,6 +381,19 @@ def get_parser():
     s.add_argument("output")
     s.add_argument("--prefixes", nargs="+", default=["param_predictor"])
     s.set_defaults(fn=cmd_strip_params)
+
+    s = sub.add_parser("average_snapshots",
+                       help="SWA-average snapshot weights in a log dir")
+    s.add_argument("log_dir")
+    s.add_argument("--prefix", default="Localizer_")
+    s.add_argument("--min-iteration", type=int, default=0)
+    s.add_argument("--max-iteration", type=int, default=None)
+    s.add_argument("--out-iteration", type=int, default=None,
+                   help="iteration number for the output snapshot name "
+                   "(default: last averaged + 1)")
+    s.add_argument("--output", default=None,
+                   help="explicit output path (overrides naming scheme)")
+    s.set_defaults(fn=cmd_average_snapshots)
 
     s = sub.add_parser("plot_log", help="plot metric curves from a log")
     s.add_argument("log", help="log file or training log dir")

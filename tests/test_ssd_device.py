@@ -123,6 +123,108 @@ def test_augment_box_follows_pixels():
                 assert abs(xx.max() + 1 - x1) <= 1.5, (i, xx.max(), x1)
 
 
+@pytest.mark.slow
+def test_ssd_train_step_on_8_device_mesh():
+    """The SSD train step over the 8-device data-parallel mesh —
+    multi-chip correctness of the second training pipeline is checked,
+    not inferred from shared machinery (the TPU-native stand-in for
+    ``schaaaafrichter/train.py:189-191``'s MultiprocessParallelUpdater).
+
+    The full pooled body (augment+encode+model) at SSD300 size makes the
+    CPU SPMD compile blow past an hour on this box, so multi-device
+    coverage is split: this test runs the real SSD300 model + multibox
+    loss + optimizer update on a sharded pre-encoded batch, and
+    ``test_ssd_augment_encode_on_8_device_mesh`` runs the on-device
+    augment+encode data path on the same mesh.
+    """
+    from loans_tpu.parallel import create_mesh, replicate, shard_batch
+    from loans_tpu.train import create_train_state
+    from loans_tpu.train.ssd_steps import (
+        make_ssd_train_step,
+        ssd_optimizer,
+    )
+
+    mesh = create_mesh()
+    assert len(mesh.devices.flat) == 8
+    model = SSD300(n_fg_class=1)
+    coder = model.coder()
+    size = model.input_size
+    state = create_train_state(
+        model,
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3)),
+        ssd_optimizer(1e-4),
+        train=False,
+    )
+    state = replicate(mesh, state)
+
+    rng = np.random.default_rng(5)
+    images = rng.uniform(size=(8, size, size, 3)).astype(np.float32)
+    loc, conf = coder.encode(
+        np.array([[0.2, 0.2, 0.8, 0.8]], np.float32), np.zeros(1)
+    )
+    batch = shard_batch(
+        mesh,
+        (
+            images,
+            np.tile(loc[None], (8, 1, 1)).astype(np.float32),
+            np.tile(conf[None], (8, 1)),
+        ),
+    )
+    step = make_ssd_train_step(model)
+    state2, _, metrics = step(state, None, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss/loc"]))
+    # updated params must still be replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_ssd_augment_encode_on_8_device_mesh():
+    """The on-device SSD augment + multibox encode (the data path of
+    ``ssd_pooled_body``) jitted over the 8-device mesh with the batch
+    sharded on the data axis: per-device augmentation draws must match
+    the single-device result for the same keys, and the encoded targets
+    must come out sharded the same way they went in.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from loans_tpu.data.ssd_device import encode_batch, ssd_augment_batch
+    from loans_tpu.parallel import create_mesh, shard_batch
+
+    mesh = create_mesh()
+    coder = SSD300(n_fg_class=1).coder()
+    default_cychw = jnp.asarray(coder.default_bbox)
+    default_yxyx = jnp.asarray(coder.default_yxyx)
+    out = 64  # augment window size; independent of the SSD input size
+
+    n = 8
+    rng = np.random.default_rng(7)
+    scenes = rng.uniform(size=(n, 128, 128, 3)).astype(np.float32)
+    boxes = np.tile(np.array([20, 20, 100, 100], np.float32), (n, 1, 1))
+    valid = np.ones((n, 1), bool)
+
+    def data_path(key, scenes, boxes, valid):
+        imgs, bx, vd = ssd_augment_batch(key, scenes, boxes, valid, out)
+        gt_loc, gt_conf = encode_batch(
+            default_cychw, default_yxyx, bx / out, vd,
+            jnp.zeros(vd.shape, jnp.int32),
+        )
+        return imgs, gt_loc, gt_conf
+
+    key = jax.random.key(3)
+    ref = jax.jit(data_path)(key, scenes, boxes, valid)
+
+    sharded = shard_batch(mesh, (scenes, boxes, valid))
+    got = jax.jit(data_path)(key, *sharded)
+    # partitioned resampling reassociates float sums (~1e-5 on pixels);
+    # the augmentation DRAWS (crop windows, flips) must agree exactly,
+    # which 1e-3 distinguishes from a flipped discrete choice
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-3)
+    assert not got[1].sharding.is_fully_replicated  # stayed data-sharded
+
+
 def test_augment_deterministic_per_key():
     n, s, out = 2, 32, 24
     rng = np.random.default_rng(4)

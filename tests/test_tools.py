@@ -144,3 +144,44 @@ def test_paste_and_crop_cmd(tmp_path):
     for path, label in rows:
         assert os.path.exists(os.path.join(dest, path))
         assert 0.0 <= float(label) <= 1.05
+
+
+def test_average_snapshots_cmd(tmp_path):
+    """SWA averaging: params/batch_stats are the arithmetic mean of the
+    selected snapshots; step/opt_state come from the last one; the output
+    is picked up by the snapshot lister under the next iteration."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from loans_tpu.cli.dataset_tools import main
+    from loans_tpu.models import ResnetAssessor
+    from loans_tpu.train import adam_amsgrad, create_train_state, save_state
+    from loans_tpu.train import checkpoint
+
+    state = create_train_state(
+        ResnetAssessor(ch=4),
+        jax.random.key(0),
+        jnp.zeros((1, 8, 8, 3)),
+        adam_amsgrad(1e-3),
+    )
+    vals = (1.0, 3.0)
+    for it, v in zip((100, 200), vals):
+        scaled = state.replace(
+            params=jax.tree_util.tree_map(
+                lambda x: jnp.full_like(x, v), state.params
+            ),
+            step=it,
+        )
+        save_state(str(tmp_path / f"Assessor_{it}.msgpack"), scaled)
+    main([
+        "average_snapshots", str(tmp_path),
+        "--prefix", "Assessor_", "--min-iteration", "100",
+    ])
+    snaps = checkpoint.list_snapshots(str(tmp_path), "Assessor_")
+    assert [it for it, _ in snaps] == [100, 200, 201]
+    with open(snaps[-1][1], "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    leaf = jax.tree_util.tree_leaves(raw["params"])[0]
+    np.testing.assert_allclose(np.asarray(leaf), 2.0)  # mean of 1 and 3
+    assert int(raw["step"]) == 200  # last snapshot's bookkeeping kept

@@ -1,11 +1,13 @@
-"""Capture a device profile of the bench train step and report top ops.
+"""Capture a device profile of a train step and report top ops.
 
-Runs the exact bench.py operating point (ResNet-50 localizer, 224x224,
-75x75 crops, batch from argv, bf16 + bf16 BN), captures a perfetto
-trace via jax.profiler, and prints the top-k device ops by total
-duration — the profiling-driven tuning loop VERDICT.md item 2 asks for.
+Default runs the exact bench.py operating point (ResNet-50 localizer,
+224x224, 75x75 crops, batch from argv, bf16 + bf16 BN); ``--model
+ssd300|ssd512`` profiles the SSD pooled step instead (on-device
+augment + multibox encode, the production train_ssd path). Captures a
+perfetto trace via jax.profiler and prints the top-k device ops by
+total duration.
 
-Usage: python tools/profile_step.py [batch] [outdir]
+Usage: python tools/profile_step.py [batch] [outdir] [--model M] [--no-trace]
 """
 
 import os as _os
@@ -57,6 +59,50 @@ def build_step(batch):
         ),
     }
     return step, loc, ass, b, rng
+
+
+def build_ssd_step(batch, variant="ssd300"):
+    """SSD pooled step (one scanned iteration) over a raw scene pool —
+    the production ``train_ssd --device-data`` path: augmentation +
+    multibox encode run inside the jitted step."""
+    from loans_tpu.data.ssd_device import ssd_pooled_body
+    from loans_tpu.models import SSD300, SSD512
+    from loans_tpu.train import create_train_state, make_pooled_train_step
+    from loans_tpu.train.ssd_steps import ssd_optimizer
+
+    model = (SSD300 if variant == "ssd300" else SSD512)(
+        n_fg_class=1, dtype=jnp.bfloat16
+    )
+    size = model.input_size
+    coder = model.coder()
+    rng = jax.random.key(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((2, size, size, 3)), ssd_optimizer(1e-4),
+        train=False,
+    )
+    g = np.random.default_rng(0)
+    n_pool = max(batch * 2, 64)
+    pools = {
+        "train": {
+            "scenes": jnp.asarray(
+                g.uniform(0, 255, (n_pool, size, size, 3)).astype(np.uint8)
+            ),
+            "boxes": jnp.asarray(
+                np.tile(
+                    np.array([40, 40, 200, 200], np.float32), (n_pool, 1, 1)
+                )
+            ),
+            "valid": jnp.ones((n_pool, 1), bool),
+        }
+    }
+    idx = {
+        "train": jnp.asarray(
+            g.integers(0, n_pool, (1, batch)).astype(np.int32)
+        )
+    }
+    chunk = {"pools": pools, "idx": idx}
+    pooled = make_pooled_train_step(ssd_pooled_body(model, coder, size), 1)
+    return pooled, state, None, chunk, jax.random.key(1)
 
 
 def parse_perfetto(outdir, top_k=40):
@@ -119,10 +165,22 @@ def parse_perfetto(outdir, top_k=40):
 
 
 def main():
-    batch = int(_sys.argv[1]) if len(_sys.argv) > 1 else 64
-    outdir = _sys.argv[2] if len(_sys.argv) > 2 else "/tmp/loans_profile"
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("batch", nargs="?", type=int, default=64)
+    p.add_argument("outdir", nargs="?", default="/tmp/loans_profile")
+    p.add_argument("--model", default="localizer",
+                   choices=["localizer", "ssd300", "ssd512"])
+    p.add_argument("--no-trace", action="store_true",
+                   help="steady-state timing only (for batch sweeps)")
+    args = p.parse_args()
+    batch, outdir = args.batch, args.outdir
     print("devices:", jax.devices(), flush=True)
-    step, loc, ass, b, rng = build_step(batch)
+    if args.model == "localizer":
+        step, loc, ass, b, rng = build_step(batch)
+    else:
+        step, loc, ass, b, rng = build_ssd_step(batch, args.model)
     for _ in range(3):
         loc, ass, m = step(loc, ass, b, rng)
     jax.block_until_ready(m)
@@ -132,6 +190,8 @@ def main():
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / 10
     print(f"steady state: {dt * 1e3:.1f} ms/step, {batch / dt:.0f} img/s", flush=True)
+    if args.no_trace:
+        return
 
     with jax.profiler.trace(outdir, create_perfetto_trace=True):
         for _ in range(5):
