@@ -125,23 +125,23 @@ def measure(batch):
 
 
 def main():
+    import os
+
     per_chip = measure(BATCH)
-    # ride-along: the reference README's suggested batch
-    # (train_sheep_localizer.py:58, README.md:157) so the headline number
-    # is always anchored to the reference operating point too
-    per_chip_64 = measure(64)
-    print(
-        json.dumps(
-            {
-                "metric": "localizer_train_images_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
-                "batch": BATCH,
-                "batch64_images_per_sec_per_chip": round(per_chip_64, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "localizer_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+        "batch": BATCH,
+    }
+    # opt-in ride-along at the reference README's suggested batch
+    # (train_sheep_localizer.py:58, README.md:157) — costs a second full
+    # bf16 compile (~3 min on the tunneled chip), so it is gated to keep
+    # the driver's end-of-round bench run fast (round-3 advisor finding)
+    if os.environ.get("LOANS_BENCH_BATCH64"):
+        out["batch64_images_per_sec_per_chip"] = round(measure(64), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -217,10 +217,18 @@ def cmd_average_snapshots(args):
     raw["params"] = tree_div(acc_p, raw.get("params", {}), n)
     raw["batch_stats"] = tree_div(acc_s, raw.get("batch_stats", {}), n)
 
-    out_iter = args.out_iteration or snaps[-1][0] + 1
-    out = args.output or os.path.join(
-        args.log_dir, f"{args.prefix}{out_iter}.msgpack"
-    )
+    # default OUTSIDE the numbered-snapshot namespace: an SWA file named
+    # <prefix><last+1> would become the dir's implicit "latest" snapshot
+    # and silently win any latest-snapshot selection (inference, resume)
+    # even though best-snapshot beats SWA in every measured run
+    if args.output:
+        out = args.output
+    elif args.out_iteration is not None:
+        out = os.path.join(
+            args.log_dir, f"{args.prefix}{args.out_iteration}.msgpack"
+        )
+    else:
+        out = os.path.join(args.log_dir, f"{args.prefix}swa.msgpack")
     tmp = out + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(raw))
@@ -389,8 +397,10 @@ def get_parser():
     s.add_argument("--min-iteration", type=int, default=0)
     s.add_argument("--max-iteration", type=int, default=None)
     s.add_argument("--out-iteration", type=int, default=None,
-                   help="iteration number for the output snapshot name "
-                   "(default: last averaged + 1)")
+                   help="write the output under this iteration number in "
+                   "the numbered-snapshot namespace (default: "
+                   "<prefix>swa.msgpack, OUTSIDE the namespace so the SWA "
+                   "file never becomes the implicit latest snapshot)")
     s.add_argument("--output", default=None,
                    help="explicit output path (overrides naming scheme)")
     s.set_defaults(fn=cmd_average_snapshots)

@@ -47,6 +47,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="synthetic world difficulty (must match the train "
                    "run's --benchmark): 'hard' adds distractor stamps, "
                    "cluttered backgrounds, wider scales")
+    p.add_argument("--base-bboxes", default=None, metavar="JSON",
+                   help="stamp sizes drawn from this bbox-annotation "
+                   "JSON's gt distribution (must match the train run's "
+                   "--base-bboxes; paste_and_crop_sheep.py:157-175)")
     p.add_argument("--asset-seed", type=int, default=None,
                    help="asset-world seed; a train run with seed S and "
                    "--synthetic-assets used S + 9973 (default: --seed - 2 "
@@ -84,6 +88,10 @@ def main(argv=None):
             )
         if args.benchmark == "hard":
             asset_kw["hard"] = True
+        if args.base_bboxes:
+            from loans_tpu.data.synthetic import load_base_bbox_sizes
+
+            asset_kw["base_bboxes"] = load_base_bbox_sizes(args.base_bboxes)
         ds = SyntheticLocalizerDataset(
             _synthetic_n(args.gt, 64),
             image_size=tuple(size),

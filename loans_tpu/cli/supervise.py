@@ -36,6 +36,12 @@ def get_parser():
                    default=["Localizer", "ResnetAssessor"],
                    help="snapshot prefixes to resume from (order matches "
                    "the train CLI's -rl / -rd flags)")
+    p.add_argument("--min-iterations", type=int, default=1,
+                   help="a child that exits rc=0 with log progress below "
+                   "this iteration count is treated as FAILED (an "
+                   "immediate clean death must not read as success; a "
+                   "round-3 queue run lost a whole seed to exactly that). "
+                   "0 disables the check.")
     p.add_argument("--resume-flags", nargs="+", default=None,
                    help="CLI flags to pass each resumed snapshot with, "
                    "matching --snapshot-names order (default: "
@@ -99,6 +105,7 @@ def main(argv=None):
         raise SystemExit("no training command given (use -- <command>)")
     base_log_dir = _extract_base_log_dir(cmd)
     resume: dict[str, str] = {}
+    prev_log_dir: str | None = None
 
     for attempt in range(args.max_restarts + 1):
         launch = list(cmd)
@@ -124,7 +131,8 @@ def main(argv=None):
         stalled = False
         while child.poll() is None:
             time.sleep(args.poll_interval)
-            log_dir = log_dir or _find_log_dir(base_log_dir, start)
+            log_dir = log_dir or _find_log_dir(base_log_dir, start) \
+                or prev_log_dir
             mtime, it = _log_progress(log_dir)
             if it > last_iter or mtime > last_progress:
                 last_iter = max(last_iter, it)
@@ -143,12 +151,32 @@ def main(argv=None):
                 child.wait()
                 break
         if not stalled and child.returncode == 0:
-            print("[supervise] training completed", flush=True)
-            return 0
-        if not stalled:
+            # Guard against false success: a child that exits cleanly
+            # without ever logging an iteration (backend refused, bad
+            # flag combination, killed-and-reaped launcher) is a failed
+            # run, not a completed one. runH_s3 (round 3) died ~4 min in
+            # and the queue recorded rc=0; this check closes that hole.
+            # a resumed child may have reused the previous attempt's run
+            # dir (no new dir to find) — fall back to it for the check
+            log_dir = log_dir or _find_log_dir(base_log_dir, start) \
+                or prev_log_dir
+            _, it = _log_progress(log_dir)
+            done_iter = max(last_iter, it)
+            if args.min_iterations and done_iter < args.min_iterations:
+                print(
+                    f"[supervise] child exited rc=0 but log shows only "
+                    f"iteration {done_iter} (< --min-iterations "
+                    f"{args.min_iterations}); treating as FAILURE",
+                    flush=True,
+                )
+            else:
+                print("[supervise] training completed", flush=True)
+                return 0
+        elif not stalled:
             print(f"[supervise] child exited rc={child.returncode}",
                   flush=True)
         if log_dir:
+            prev_log_dir = log_dir
             resume = _newest_snapshots(log_dir, args.snapshot_names)
             if resume:
                 print(f"[supervise] will resume from {resume}", flush=True)

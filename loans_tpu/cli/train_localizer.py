@@ -170,17 +170,15 @@ def _synthetic_n(spec: str, default: int) -> int:
     return default
 
 
-def build_datasets(args):
-    from loans_tpu.data import (
-        ImageDataset,
-        LabeledImageDataset,
-        SyntheticAssessorDataset,
-        SyntheticLocalizerDataset,
-        read_labeled_csv,
-    )
+def build_asset_kw(args):
+    """Synthetic-world kwargs (asset seed, hard mode, base bboxes).
 
-    img = tuple(args.target_size)
-    crop = tuple(args.crop_size)
+    One builder for every synthetic dataset a run constructs — train,
+    assessor reference, val, and the supervised-mode labeled train set —
+    so a flag like ``--benchmark hard`` can never apply to one split but
+    not another (a train/eval world skew; the reference has a single
+    generation config per run, ``paste_and_crop_sheep.py:157-175``).
+    """
     asset_kw = {}
     if args.synthetic_assets:
         asset_kw = dict(
@@ -192,6 +190,21 @@ def build_datasets(args):
         from loans_tpu.data.synthetic import load_base_bbox_sizes
 
         asset_kw["base_bboxes"] = load_base_bbox_sizes(args.base_bboxes)
+    return asset_kw
+
+
+def build_datasets(args):
+    from loans_tpu.data import (
+        ImageDataset,
+        LabeledImageDataset,
+        SyntheticAssessorDataset,
+        SyntheticLocalizerDataset,
+        read_labeled_csv,
+    )
+
+    img = tuple(args.target_size)
+    crop = tuple(args.crop_size)
+    asset_kw = build_asset_kw(args)
     cache = getattr(args, "synthetic_cache", None)
     if _is_synthetic(args.train_file):
         from loans_tpu.data.synthetic import cached_synthetic
@@ -249,6 +262,37 @@ def build_datasets(args):
     else:
         val = LabeledImageDataset(args.val_file, image_size=img)
     return train, reference, val
+
+
+def build_supervised_datasets(args):
+    """(labeled train, labeled val) for ``--supervised`` mode.
+
+    Both splits share :func:`build_asset_kw`'s world kwargs — a round-3
+    skew hand-rolled the train kwargs here and silently dropped
+    ``hard``/``base_bboxes``, so ``--supervised --benchmark hard``
+    trained on the default world while validating on the hard one
+    (val mAP 0.0008, `docs/results/logs_r3/37_hard_sup.sh.out`).
+    """
+    from loans_tpu.data import LabeledImageDataset
+    from loans_tpu.data.synthetic import SyntheticLocalizerDataset
+
+    img = tuple(args.target_size)
+    sup_asset_kw = build_asset_kw(args)
+    if _is_synthetic(args.train_file):
+        train_ds = SyntheticLocalizerDataset(
+            _synthetic_n(args.train_file, 512), image_size=img,
+            seed=args.seed, labeled=True, output_dtype="uint8",
+            **sup_asset_kw,
+        )
+    else:
+        train_ds = LabeledImageDataset(args.train_file, image_size=img)
+    # skip generating the (unused) assessor reference set
+    import argparse as _ap
+
+    val_args = _ap.Namespace(**vars(args))
+    val_args.reference_file = "synthetic:1"
+    _, _, val_ds = build_datasets(val_args)
+    return train_ds, val_ds
 
 
 def main(argv=None):
@@ -335,31 +379,7 @@ def main(argv=None):
 
     # -- data --------------------------------------------------------------
     if args.supervised:
-        # labeled train set: reuse the val-style dataset over train_file
-        from loans_tpu.data import LabeledImageDataset
-        from loans_tpu.data.synthetic import SyntheticLocalizerDataset
-
-        sup_asset_kw = {}
-        if args.synthetic_assets:
-            sup_asset_kw = dict(
-                asset_seed=args.seed + 9973, n_assets=args.synthetic_assets
-            )
-        if _is_synthetic(args.train_file):
-            train_ds = SyntheticLocalizerDataset(
-                _synthetic_n(args.train_file, 512), image_size=tuple(img),
-                seed=args.seed, labeled=True, output_dtype="uint8",
-                **sup_asset_kw,
-            )
-        else:
-            train_ds = LabeledImageDataset(
-                args.train_file, image_size=tuple(img)
-            )
-        # skip generating the (unused) assessor reference set
-        import argparse as _ap
-
-        val_args = _ap.Namespace(**vars(args))
-        val_args.reference_file = "synthetic:1"
-        _, _, val_ds = build_datasets(val_args)
+        train_ds, val_ds = build_supervised_datasets(args)
         ref_ds = None
     else:
         train_ds, ref_ds, val_ds = build_datasets(args)

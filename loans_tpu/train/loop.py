@@ -230,12 +230,25 @@ class Trainer:
                         pass
 
     def resume(self, loc_path: str | None = None, ass_path: str | None = None):
-        """Resume full state from snapshots (``--rl`` / ``--rd``)."""
+        """Resume full state from snapshots (``--rl`` / ``--rd``).
+
+        ``--iterations`` is TOTAL, so resuming a snapshot at/beyond it is
+        a zero-step run; that is always a flag mistake, and round 3
+        silently burned a queued fine-tune experiment on it
+        (`docs/results/logs_r3/38a_joint_finetune.sh.out`) — fail loudly.
+        """
         if loc_path:
             self.loc_state = checkpoint.restore_state(loc_path, self.loc_state)
         if ass_path and self.ass_state is not None:
             self.ass_state = checkpoint.restore_state(ass_path, self.ass_state)
         self.iteration = int(jax.device_get(self.loc_state.step))
+        if self.iteration >= self.max_iterations:
+            raise SystemExit(
+                f"resumed snapshot is at iteration {self.iteration} but "
+                f"--iterations {self.max_iterations} is TOTAL (not "
+                f"additional): nothing would train. Pass --iterations "
+                f"{self.iteration} + <extra steps>."
+            )
         return self
 
 

@@ -41,6 +41,17 @@ def main():
     assert jax.process_count() == n_procs, jax.process_count()
     assert len(jax.devices()) == 2 * n_procs
 
+    # Create the Gloo communicator NOW, while the two processes are
+    # still seconds apart (just released from the coordinator's init
+    # barrier). XLA:CPU builds it lazily at the FIRST collective, whose
+    # socket connect has a fixed ~30s timeout — if that first collective
+    # is the train step, a compile-time disparity between the workers on
+    # a loaded 1-core box blows the window ("Gloo context initialization
+    # failed: Connect timeout", the round-2/3 suite flake).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo-context-warmup")
+
     import jax.numpy as jnp
     import numpy as np
 

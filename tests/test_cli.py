@@ -225,3 +225,34 @@ def test_train_cli_pooled_chunked_cadence(tmp_path):
     iters = [e["iteration"] for e in log if "iteration" in e]
     assert iters == [8, 16]
     assert os.path.exists(os.path.join(log_dir, "Localizer_16.msgpack"))
+
+
+def test_supervised_world_kwargs_match_val(monkeypatch):
+    """--benchmark hard / --base-bboxes must reach the supervised TRAIN
+    set, not only the val set (round-3 regression: supervised-hard
+    trained on the default world and collapsed to val mAP 0.0008,
+    docs/results/logs_r3/37_hard_sup.sh.out)."""
+    from loans_tpu.cli.train_localizer import (
+        build_supervised_datasets,
+        get_parser,
+    )
+    from loans_tpu.data import synthetic as synth_mod
+
+    captured = {}
+
+    class Recorder:
+        def __init__(self, n, **kw):
+            captured.update(kw)
+            self.items = []
+
+    monkeypatch.setattr(synth_mod, "SyntheticLocalizerDataset", Recorder)
+    args = get_parser().parse_args([
+        "synthetic:4", "synthetic:4", "synthetic:4",
+        "--supervised", "--benchmark", "hard",
+        "--synthetic-assets", "8", "--seed", "5",
+    ])
+    train_ds, _ = build_supervised_datasets(args)
+    assert isinstance(train_ds, Recorder)
+    assert captured.get("hard") is True
+    assert captured.get("asset_seed") == 5 + 9973
+    assert captured.get("labeled") is True

@@ -26,12 +26,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
+def _run_worker_pair(env):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    env["LOANS_PLATFORM"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, "2", str(pid)],
@@ -43,10 +40,40 @@ def test_two_process_distributed_train_step():
         )
         for pid in range(2)
     ]
+    results = [p.communicate(timeout=1500) for p in procs]
+    return procs, results
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["LOANS_PLATFORM"] = "cpu"
+    # persistent compile cache: on a 1-core box the two workers compile
+    # the same program serially, and the slower one can outlast the Gloo
+    # connect timeout of the faster one's first collective — cache-warm
+    # retries make that window tiny instead of a full compile
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    for attempt in range(4):
+        procs, results = _run_worker_pair(env)
+        rcs = [p.returncode for p in procs]
+        if all(rc == 0 for rc in rcs):
+            break
+        # always surface the raw worker output — a flake we can't read
+        # is a flake we can't fix (round-3 lesson)
+        for i, (out, err) in enumerate(results):
+            print(f"--- attempt {attempt} worker {i} rc={rcs[i]} ---")
+            print(out[-2000:])
+            print(err[-2000:])
+        blob = "\n".join(out + err for out, err in results).lower()
+        transient = "connect timeout" in blob or "gloo" in blob \
+            or "deadline" in blob or "barrier" in blob \
+            or "unavailable" in blob
+        assert transient and attempt < 3, (
+            f"workers failed rc={rcs} (attempt {attempt})"
+        )
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=1500)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    for p, (out, err) in zip(procs, results):
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert lines, f"no RESULT line:\n{out}\n{err}"
         outs.append(lines[0].split())

@@ -170,6 +170,32 @@ def test_trainer_resume(tmp_path):
     assert t2.iteration == 6
 
 
+def test_trainer_resume_at_or_beyond_total_iterations_fails(tmp_path):
+    """--iterations is TOTAL: resuming a snapshot already at/beyond it
+    would train zero steps — must fail loudly instead of silently
+    re-evaluating (the round-3 38a joint-fine-tune no-op)."""
+    import pytest
+
+    localizer, assessor, loc, ass = tiny_states()
+    step = make_train_step(
+        localizer, assessor, AlternatingConfig(image_size=IMG)
+    )
+    log_dir = str(tmp_path / "run")
+    t1 = Trainer(
+        step, loc, ass, batches(3), log_dir, 3, jax.random.key(0),
+        log_interval=0,
+    )
+    t1.run()
+    snaps = list_snapshots(log_dir, "Localizer_")
+    _, _, loc2, ass2 = tiny_states()
+    t2 = Trainer(
+        step, loc2, ass2, batches(3), log_dir, 3, jax.random.key(0),
+        log_interval=0,
+    )
+    with pytest.raises(SystemExit, match="TOTAL"):
+        t2.resume(loc_path=snaps[-1][1])
+
+
 def test_lr_control_via_file(tmp_path):
     localizer, assessor, loc, ass = tiny_states()
     step = make_train_step(

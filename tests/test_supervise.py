@@ -58,3 +58,28 @@ time.sleep(3600)  # stall forever
     assert rc == 0
     log = json.load(open(tmp_path / "logs" / "run" / "log"))
     assert log[-1]["iteration"] == 9  # resumed child ran
+
+
+def test_supervisor_rejects_immediate_clean_death(tmp_path):
+    """rc=0 with zero logged iterations is a FAILED run (round-3 queue
+    lost seed 3 to a launcher that died instantly yet reported success);
+    the supervisor must retry and, still failing, propagate rc=1."""
+    script = tmp_path / "fake_train.py"
+    script.write_text("import sys; sys.exit(0)\n")
+    rc = main([
+        "--stall-timeout", "60", "--poll-interval", "0.2",
+        "--max-restarts", "1",
+        "--", sys.executable, str(script), "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 1
+
+
+def test_supervisor_min_iterations_zero_disables_guard(tmp_path):
+    script = tmp_path / "fake_train.py"
+    script.write_text("import sys; sys.exit(0)\n")
+    rc = main([
+        "--stall-timeout", "60", "--poll-interval", "0.2",
+        "--max-restarts", "1", "--min-iterations", "0",
+        "--", sys.executable, str(script), "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0

@@ -148,8 +148,10 @@ def test_paste_and_crop_cmd(tmp_path):
 
 def test_average_snapshots_cmd(tmp_path):
     """SWA averaging: params/batch_stats are the arithmetic mean of the
-    selected snapshots; step/opt_state come from the last one; the output
-    is picked up by the snapshot lister under the next iteration."""
+    selected snapshots; step/opt_state come from the last one; the
+    default output lands OUTSIDE the numbered-snapshot namespace (so it
+    can never shadow the latest real snapshot) and only an explicit
+    --out-iteration writes under an iteration number."""
     import jax
     import jax.numpy as jnp
     from flax import serialization
@@ -177,6 +179,15 @@ def test_average_snapshots_cmd(tmp_path):
     main([
         "average_snapshots", str(tmp_path),
         "--prefix", "Assessor_", "--min-iteration", "100",
+    ])
+    # default name is outside the numbered namespace: lister unchanged
+    assert (tmp_path / "Assessor_swa.msgpack").exists()
+    snaps = checkpoint.list_snapshots(str(tmp_path), "Assessor_")
+    assert [it for it, _ in snaps] == [100, 200]
+    main([
+        "average_snapshots", str(tmp_path),
+        "--prefix", "Assessor_", "--min-iteration", "100",
+        "--out-iteration", "201",
     ])
     snaps = checkpoint.list_snapshots(str(tmp_path), "Assessor_")
     assert [it for it, _ in snaps] == [100, 200, 201]
