@@ -1,0 +1,15 @@
+#!/bin/bash
+# VERDICT r3 item 4: supervised seed distribution (seed 4 of {2,3,4};
+# seed 1 = 0.9315 already committed as runSup_sharedworld).
+set -e
+cd /root/repo
+python -m loans_tpu.cli.supervise --stall-timeout 1800 --min-iterations 18000 -- \
+  python -u train_sheep_localizer.py synthetic:2048 synthetic:32768 synthetic:512 \
+  -b 64 --n-layers 18 --bf16 --iterations 20000 --supervised \
+  --lr-shift 1e-3 1e-4 8000 14000 --synthetic-assets 256 \
+  --synthetic-cache /tmp/loans_cache \
+  --log-dir /tmp/runSup_s4 --log-name runSup_s4 \
+  --log-interval 500 --snapshot-interval 2000 --eval-batches 8 --seed 4
+LOG=$(ls -d /tmp/runSup_s4/*_runSup_s4 | head -1)
+python -u evaluate.py synthetic:512 "$LOG" -b 64 --seed 6 \
+  --synthetic-assets 256 --bn-warmup 8
