@@ -20,15 +20,21 @@ import numpy as np
 
 
 def main():
-    # usage: diagnose_eval.py <log_dir> [iteration] [val_seed asset_seed n_assets]
-    log_dir = _sys.argv[1]
-    want_it = int(_sys.argv[2]) if len(_sys.argv) > 2 else None
-    val_seed = int(_sys.argv[3]) if len(_sys.argv) > 3 else 2
+    # usage: diagnose_eval.py <log_dir> [iteration] [val_seed asset_seed
+    #        n_assets] [--hard]
+    # --hard builds the hard benchmark world (distractor stamps + cluttered
+    # background), matching a `--benchmark hard` training run — the same
+    # "world kwargs must match the run" contract evaluate.py enforces.
+    argv = [a for a in _sys.argv[1:] if a != "--hard"]
+    hard = "--hard" in _sys.argv
+    log_dir = argv[0]
+    want_it = int(argv[1]) if len(argv) > 1 else None
+    val_seed = int(argv[2]) if len(argv) > 2 else 2
     asset_kw = {}
-    if len(_sys.argv) > 5:
-        asset_kw = dict(
-            asset_seed=int(_sys.argv[4]), n_assets=int(_sys.argv[5])
-        )
+    if len(argv) > 4:
+        asset_kw = dict(asset_seed=int(argv[3]), n_assets=int(argv[4]))
+    if hard:
+        asset_kw["hard"] = True
 
     from loans_tpu.data.synthetic import SyntheticLocalizerDataset
     from loans_tpu.ops.geometry import bbox_iou
@@ -103,6 +109,8 @@ def main():
         side = np.sqrt(areas)
         print(f"\n== {label} ==")
         print(f"mean IoU {ious.mean():.4f}   acc@0.5 {(ious > 0.5).mean():.4f}")
+        hist, _ = np.histogram(ious, bins=10, range=(0.0, 1.0))
+        print("  IoU histogram [0,1) deciles:", " ".join(str(int(c)) for c in hist))
         bins = [(0, 30), (30, 50), (50, 75), (75, 1000)]
         for lo, hi in bins:
             m = (side >= lo) & (side < hi)
