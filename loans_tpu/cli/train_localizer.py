@@ -422,12 +422,15 @@ def main(argv=None):
 
                 n_ref = _synthetic_n(args.reference_file, 1024)
 
-                asset_kw_refresh = {}
-                if args.synthetic_assets:
-                    asset_kw_refresh = dict(
-                        asset_seed=args.seed + 9973,
-                        n_assets=args.synthetic_assets,
-                    )
+                # the refresh pool MUST be drawn from the same world as
+                # every other split — a hand-rolled kwargs dict here once
+                # dropped `hard`/`base_bboxes`, so hard-benchmark weak runs
+                # trained the assessor on hard crops until iteration
+                # --assessor-refresh and on default-world crops after,
+                # collapsing at the first post-takeoff refresh (round-3
+                # 36_hard_weak.sh.out); build_asset_kw is the single
+                # builder for exactly this reason
+                asset_kw_refresh = build_asset_kw(args)
 
                 def regen_reference(generation: int):
                     ds = SyntheticAssessorDataset(

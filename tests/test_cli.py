@@ -256,3 +256,45 @@ def test_supervised_world_kwargs_match_val(monkeypatch):
     assert captured.get("hard") is True
     assert captured.get("asset_seed") == 5 + 9973
     assert captured.get("labeled") is True
+
+
+def test_weak_refresh_world_kwargs_match(tmp_path, monkeypatch):
+    """--benchmark hard must reach the REFRESHED assessor pools, not just
+    the initial one (round-3 regression: hard-weak runs trained the
+    assessor on hard crops until the first --assessor-refresh and on
+    default-world crops after, collapsing at the first post-takeoff
+    refresh — docs/results/logs_r3/36_hard_weak.sh.out)."""
+    import loans_tpu.data as data_mod
+    from loans_tpu.cli.train_localizer import main
+
+    real = data_mod.SyntheticAssessorDataset
+    calls = []
+
+    def spy(n, **kw):
+        calls.append(dict(kw))
+        return real(n, **kw)
+
+    monkeypatch.setattr(data_mod, "SyntheticAssessorDataset", spy)
+    main(
+        [
+            "synthetic:8", "synthetic:8", "synthetic:4",
+            "--batch-size", "8",
+            "--target-size", "32", "32",
+            "--crop-size", "8", "8",
+            "--n-layers", "18",
+            "--iterations", "16",
+            "--steps-per-call", "8",
+            "--assessor-refresh", "8",
+            "--benchmark", "hard",
+            "--synthetic-assets", "4",
+            "--seed", "5",
+            "--log-dir", str(tmp_path),
+            "--log-interval", "8",
+            "--snapshot-interval", "0",
+            "--eval-batches", "0",
+        ]
+    )
+    assert len(calls) >= 2, "expected initial + >=1 refreshed assessor pool"
+    for kw in calls:
+        assert kw.get("hard") is True
+        assert kw.get("asset_seed") == 5 + 9973
