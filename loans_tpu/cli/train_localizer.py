@@ -68,6 +68,12 @@ def get_parser() -> argparse.ArgumentParser:
                    "iterations in a background thread (device-data only; "
                    "0 = fixed pool). Unbounded crop stream - prevents the "
                    "assessor from memorizing a small pool")
+    p.add_argument("--assessor-ema", type=float, default=0.0,
+                   metavar="DECAY",
+                   help="score the localizer against an EMA of the "
+                   "assessor params (decay per step, e.g. 0.99; 0 = live "
+                   "params, the reference behavior). Damps the scoring-"
+                   "surface jump at each --assessor-refresh pool swap")
     p.add_argument("--assessor-low-iou", type=float, default=0.0,
                    metavar="FRAC",
                    help="fraction of synthetic assessor crops sampled as "
@@ -347,6 +353,8 @@ def main(argv=None):
         jnp.zeros((2, crop.height, crop.width, 3)),
         adam_amsgrad(args.learning_rate),
     )
+    if args.assessor_ema:
+        ass_state = ass_state.with_ema()
     if args.pretrained_model:
         params, stats = checkpoint.restore_params(
             args.pretrained_model,
@@ -559,6 +567,7 @@ def main(argv=None):
         and not args.no_freeze,
         image_size=img,
         augment_reference=args.assessor_augment,
+        assessor_ema=args.assessor_ema,
     )
     if args.supervised:
         from loans_tpu.train import (
@@ -621,6 +630,11 @@ def main(argv=None):
         steps_per_call=steps_per_call,
     )
     trainer.resume(args.resume_localizer, args.resume_discriminator)
+    if args.assessor_ema and trainer.ass_state is not None:
+        # ema_params is not persisted in snapshots; re-sync to the
+        # restored live params so a resumed run starts from a coherent
+        # scoring surface instead of the fresh-init one.
+        trainer.ass_state = trainer.ass_state.with_ema()
     if args.dump_graph:
         sds = lambda shape, dt=jnp.float32: jax.ShapeDtypeStruct(shape, dt)
         if args.supervised:

@@ -25,6 +25,12 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Optional EMA of ``params`` (None = disabled). Used by the
+    # alternating update to score the localizer against a smoothed
+    # assessor (``--assessor-ema``): damps the refresh-shock scoring
+    # jumps measured in the round-4 hard-weak runs. Not persisted in
+    # snapshots — re-synced to ``params`` on resume.
+    ema_params: Any = None
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(
@@ -40,6 +46,17 @@ class TrainState(struct.PyTreeNode):
                 else new_batch_stats
             ),
             opt_state=new_opt_state,
+        )
+
+    def with_ema(self):
+        """Return a state whose ``ema_params`` is a fresh COPY of
+        ``params``. A copy, not an alias: the train steps donate their
+        state arguments, and donating the same buffer twice is an XLA
+        error."""
+        return self.replace(
+            ema_params=jax.tree_util.tree_map(
+                jax.numpy.array, self.params
+            )
         )
 
     @property

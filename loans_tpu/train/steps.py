@@ -46,6 +46,13 @@ class AlternatingConfig:
     # (data/device_augment.py) — breaks pool memorization on the
     # device-resident training path.
     augment_reference: bool = False
+    # EMA decay for the assessor params used to SCORE the localizer
+    # (0 = score with the live params, the reference behavior,
+    # sheep_updater.py:40-74). The assessor still trains on its live
+    # params; only the localizer's scoring surface is smoothed —
+    # ~1/(1-decay) steps of memory damp the jump when the reference
+    # pool is refreshed (--assessor-refresh).
+    assessor_ema: float = 0.0
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -108,7 +115,12 @@ def alternating_step_body(localizer, assessor, config: AlternatingConfig):
                 mutable=["batch_stats"],
                 rngs=rngs,
             )
-            y_fake = assessor.apply({"params": ass_state.params}, rois)
+            score_params = (
+                ass_state.ema_params
+                if config.assessor_ema > 0
+                else ass_state.params
+            )
+            y_fake = assessor.apply({"params": score_params}, rois)
             target = jnp.full_like(y_fake, config.localizer_target)
             loss = mse(y_fake, target)
             corners = theta_corners(theta)
@@ -132,6 +144,15 @@ def alternating_step_body(localizer, assessor, config: AlternatingConfig):
         )(ass_state.params)
         if not config.freeze_assessor:
             ass_state = ass_state.apply_gradients(ass_grads)
+            if config.assessor_ema > 0:
+                d = config.assessor_ema
+                ass_state = ass_state.replace(
+                    ema_params=jax.tree.map(
+                        lambda e, p: d * e + (1.0 - d) * p,
+                        ass_state.ema_params,
+                        ass_state.params,
+                    )
+                )
 
         metrics = {
             "loss_localizer": loss_localizer,

@@ -263,3 +263,32 @@ def test_trainer_span_triggers_with_pooled_step():
     assert _crossed(0, 4, 4) and not _crossed(4, 7, 4) and _crossed(7, 8, 4)
     h = Hook(lambda t, i: None, every=10)
     assert h.due_span(9, 12) and not h.due_span(10, 19) and h.due_span(19, 20)
+
+
+def test_assessor_ema_smooths_scoring():
+    """--assessor-ema: the localizer is scored against an EMA of the
+    assessor params; the EMA trails the live params and both nets still
+    train."""
+    localizer, assessor, loc_state, ass_state = build_states()
+    ass_state = ass_state.with_ema()
+    step = make_train_step(
+        localizer,
+        assessor,
+        AlternatingConfig(image_size=IMG, assessor_ema=0.9),
+    )
+    batch = make_batch()
+    for i in range(3):
+        loc_state, ass_state, metrics = step(
+            loc_state, ass_state, batch, jax.random.key(i)
+        )
+    live = jax.tree_util.tree_leaves(ass_state.params)[0]
+    ema = jax.tree_util.tree_leaves(ass_state.ema_params)[0]
+    # EMA moved off the init but trails the live params.
+    assert not np.allclose(np.asarray(ema), np.asarray(live))
+    assert np.isfinite(float(metrics["loss_localizer"]))
+    # The scoring surface actually differs: the assessor scores a fixed
+    # crop batch differently under ema vs live params.
+    rois = jnp.asarray(make_batch(3)["real"])
+    y_ema = assessor.apply({"params": ass_state.ema_params}, rois)
+    y_live = assessor.apply({"params": ass_state.params}, rois)
+    assert not np.allclose(np.asarray(y_ema), np.asarray(y_live))
