@@ -30,29 +30,40 @@ def load(name):
     return [(r["iteration"], r["map"]) for r in d]
 
 
+def stitched(base, cont_name):
+    """Base sweep plus a -rl/-rd continuation sweep, overlap dropped."""
+    pts = load(base)
+    cont = load(cont_name)
+    if pts and cont:
+        pts = pts + [(i, m) for i, m in cont if i > pts[-1][0]]
+    return pts
+
+
 def main():
-    weak3 = load("runHard_weak3")
-    cont = load("runHard_weak4")
-    if cont:  # job-53 continuation resumes from 26000; drop overlap
-        weak3 = weak3 + [(i, m) for i, m in cont if i > weak3[-1][0]]
     runs = [
-        ("supervised (job 40b)", "#2a78d6", load("runHard_sup24k")),
-        ("weak, fixed refresh (46b+53)" if cont else
-         "weak, fixed refresh (46b)", "#eb6834", weak3),
-        ("weak, skewed refresh (46)", "#1baf7a", load("runHard_weak2")),
-        ("weak, LR shift @8k (r3, 36)", "#eda100", load("runHard_weak")),
+        ("supervised s1 (40b)", "#2a78d6", "-", 2.0, load("runHard_sup24k")),
+        ("supervised s7 (61)", "#2a78d6", "--", 2.0, load("runHard_sup_s7")),
+        ("weak s1, fixed refresh (46b+53)", "#eb6834", "-", 2.0,
+         stitched("runHard_weak3", "runHard_weak4")),
+        ("weak s7 (58+60)", "#eb6834", "--", 2.0,
+         stitched("runHard_weak_s7", "runHard_weak_s7c")),
+        ("weak, skewed refresh (46)", "#1baf7a", "-", 1.2,
+         load("runHard_weak2")),
+        ("weak, LR shift @8k (r3, 36)", "#eda100", "-", 1.2,
+         load("runHard_weak")),
     ]
     fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=150)
     fig.patch.set_facecolor("#ffffff")
     ax.set_facecolor("#ffffff")
     xmax = 0
-    for label, color, pts in runs:
+    for label, color, ls, lw, pts in runs:
         if not pts:
             continue
         xs, ys = zip(*pts)
         xmax = max(xmax, xs[-1])
-        ax.plot(xs, ys, color=color, lw=2, label=label,
-                marker="o", ms=3.5, mfc=color, mec="#ffffff", mew=0.8)
+        ax.plot(xs, ys, color=color, lw=lw, ls=ls, label=label,
+                marker="o", ms=3 if lw > 1.5 else 2,
+                mfc=color, mec="#ffffff", mew=0.8)
         ax.annotate(f"{ys[-1]:.3f}", (xs[-1], ys[-1]),
                     textcoords="offset points", xytext=(5, -2),
                     fontsize=8, color="#555555")
