@@ -24,8 +24,9 @@ RESULTS = os.path.join(HERE, "..", "docs", "results")
 ARMS = {
     3: ("runEma_s3", "runH_s3", 0.8776, "#2a78d6"),
     4: ("runEma_s4", "runH_s4", 0.9290, "#eb6834"),
-    1: ("runEma_s1", "runH_s1", 0.9067, "#1baf7a"),
+    1: ("runEma_s1", "runH_s1", 0.9315, "#1baf7a"),
     7: ("runEma_s7", "runE_seed7", 0.8954, "#eda100"),
+    2: ("runEma_s2", "runH_s2", 0.9067, "#9467bd"),
 }
 
 
