@@ -74,6 +74,14 @@ def get_parser() -> argparse.ArgumentParser:
                    "assessor params (decay per step, e.g. 0.99; 0 = live "
                    "params, the reference behavior). Damps the scoring-"
                    "surface jump at each --assessor-refresh pool swap")
+    p.add_argument("--assessor-ema-start", type=int, default=0,
+                   metavar="ITER",
+                   help="iteration at which --assessor-ema starts "
+                   "accumulating; before it the localizer is scored "
+                   "against the live assessor (reference behavior). "
+                   "Keeps early localizer/assessor co-calibration "
+                   "unsmoothed - the measured EMA failure mode on "
+                   "late-takeoff seeds")
     p.add_argument("--assessor-low-iou", type=float, default=0.0,
                    metavar="FRAC",
                    help="fraction of synthetic assessor crops sampled as "
@@ -568,6 +576,7 @@ def main(argv=None):
         image_size=img,
         augment_reference=args.assessor_augment,
         assessor_ema=args.assessor_ema,
+        assessor_ema_start=args.assessor_ema_start,
     )
     if args.supervised:
         from loans_tpu.train import (

@@ -53,6 +53,15 @@ class AlternatingConfig:
     # ~1/(1-decay) steps of memory damp the jump when the reference
     # pool is refreshed (--assessor-refresh).
     assessor_ema: float = 0.0
+    # Iteration at which the EMA starts accumulating. Before this step
+    # the shadow params are held exactly equal to the live params
+    # (decay forced to 0), so scoring through ``ema_params`` is
+    # identical to live-params scoring — i.e. reference behavior until
+    # switch-on. Motivated by the round-5 seed-1/2 EMA runs: smoothing
+    # the scoring surface BEFORE localizer takeoff starves the early
+    # localizer/assessor co-calibration, while smoothing after takeoff
+    # is where the refresh-shock damping pays.
+    assessor_ema_start: int = 0
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -146,9 +155,22 @@ def alternating_step_body(localizer, assessor, config: AlternatingConfig):
             ass_state = ass_state.apply_gradients(ass_grads)
             if config.assessor_ema > 0:
                 d = config.assessor_ema
+                if config.assessor_ema_start > 0:
+                    # Traced select, scan/jit-safe: decay 0 pins the
+                    # shadow to the live params until switch-on.
+                    d = jnp.where(
+                        ass_state.step >= config.assessor_ema_start,
+                        d,
+                        0.0,
+                    )
                 ass_state = ass_state.replace(
                     ema_params=jax.tree.map(
-                        lambda e, p: d * e + (1.0 - d) * p,
+                        # astype: keep the carry dtype invariant (a
+                        # traced f32 decay would otherwise promote
+                        # low-precision leaves inside lax.scan).
+                        lambda e, p: (d * e + (1.0 - d) * p).astype(
+                            e.dtype
+                        ),
                         ass_state.ema_params,
                         ass_state.params,
                     )

@@ -292,3 +292,46 @@ def test_assessor_ema_smooths_scoring():
     y_ema = assessor.apply({"params": ass_state.ema_params}, rois)
     y_live = assessor.apply({"params": ass_state.params}, rois)
     assert not np.allclose(np.asarray(y_ema), np.asarray(y_live))
+
+
+def test_assessor_ema_delayed_start():
+    """--assessor-ema-start: before the start iteration the shadow
+    params are pinned exactly to the live params (scoring == reference
+    behavior); from the start iteration on the EMA accumulates and
+    trails."""
+    localizer, assessor, loc_state, ass_state = build_states()
+    ass_state = ass_state.with_ema()
+    step = make_train_step(
+        localizer,
+        assessor,
+        AlternatingConfig(
+            image_size=IMG, assessor_ema=0.9, assessor_ema_start=3
+        ),
+    )
+    batch = make_batch()
+
+    def leaves_equal(state):
+        return all(
+            np.array_equal(np.asarray(e), np.asarray(p))
+            for e, p in zip(
+                jax.tree_util.tree_leaves(state.ema_params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        )
+
+    for i in range(2):  # post-update step counter reaches 1, 2 (< 3)
+        loc_state, ass_state, _ = step(
+            loc_state, ass_state, batch, jax.random.key(i)
+        )
+        assert leaves_equal(ass_state), f"shadow diverged at step {i}"
+    for i in range(2, 4):  # counter 3, 4 (>= 3): EMA active
+        loc_state, ass_state, _ = step(
+            loc_state, ass_state, batch, jax.random.key(i)
+        )
+    assert not leaves_equal(ass_state)
+    # dtype of the shadow leaves is unchanged by the traced decay
+    for e, p in zip(
+        jax.tree_util.tree_leaves(ass_state.ema_params),
+        jax.tree_util.tree_leaves(ass_state.params),
+    ):
+        assert e.dtype == p.dtype

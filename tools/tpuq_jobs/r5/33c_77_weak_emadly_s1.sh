@@ -1,0 +1,19 @@
+#!/bin/bash
+# tpuq-minutes: 40
+# Delayed-EMA refinement, seed 1 (plain EMA was a small loss:
+# 0.8643 vs baseline runH_s1 0.877). Pre-registered: wins iff
+# best > 0.897 (baseline + 0.02).
+set -e
+cd /root/repo
+python -m loans_tpu.cli.supervise --stall-timeout 1800 --min-iterations 23000 -- \
+  python -u train_sheep_localizer.py synthetic:2048 synthetic:32768 synthetic:512 \
+  -b 64 --n-layers 18 --bf16 --iterations 24000 \
+  --lr-shift 1e-3 1e-4 8000 14000 \
+  --assessor-ema 0.99 --assessor-ema-start 2000 \
+  --assessor-refresh 2000 --synthetic-assets 256 --assessor-augment \
+  --assessor-low-iou 0.25 --synthetic-cache /tmp/loans_cache \
+  --log-dir /tmp/runEmaD_s1 --log-name runEmaD_s1 \
+  --log-interval 500 --snapshot-interval 2000 --eval-batches 8 --seed 1
+LOG=$(ls -d /tmp/runEmaD_s1/*_runEmaD_s1 | head -1)
+python -u evaluate.py synthetic:512 "$LOG" -b 64 --seed 3 \
+  --synthetic-assets 256 --bn-warmup 8
